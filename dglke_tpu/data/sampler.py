@@ -1,0 +1,326 @@
+"""Host-side samplers + edge partitioners.
+
+TPU-native replacement for the reference's DGL EdgeSampler pipeline
+(/root/reference/python/dglke/dataloader/sampler.py).  There are no graph
+objects: a training batch is four integer arrays
+
+    h [B], r [B], t [B], neg [C*K]
+
+where the batch splits into C chunks of Bc positives sharing K uniformly
+sampled corrupted heads/tails (the reference's chunked negative mode).  The
+sampler alternates head- and tail-corrupt batches like
+NewBidirectionalOneShotIterator (sampler.py:823-876), shuffles positives per
+epoch, and streams forever.
+
+Evaluation uses a sort-based FilterIndex over all (train+valid+test) triples
+instead of DGL's ``return_false_neg`` C++ lookup: for each eval triple the
+index returns the ids of all true heads/tails, which the device ranking
+kernel subtracts from the unfiltered rank (see KEModel.eval_ranks).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from dglke_tpu.data.dataset import KGDataset
+
+# ---------------------------------------------------------------------------
+# Edge partitioners (single-machine data parallel; reference sampler.py:32-290)
+
+
+def random_partition(triples, n_parts: int,
+                     rng: Optional[np.random.RandomState] = None
+                     ) -> List[np.ndarray]:
+    """Shuffle edges, split into n_parts nearly equal index ranges."""
+    n = len(triples[0])
+    rng = rng or np.random.RandomState(0)
+    perm = rng.permutation(n)
+    part_size = math.ceil(n / n_parts)
+    return [perm[i * part_size:(i + 1) * part_size] for i in range(n_parts)]
+
+
+def balanced_relation_partition(triples, n_parts: int):
+    """Each relation lives entirely in one part; parts greedily balanced by
+    edge count (reference BalancedRelationPartition, sampler.py:150-254).
+
+    Returns (edge_parts, rel_parts, cross_part=False).
+    """
+    h, r, t = triples[0], triples[1], triples[2]
+    uniq, counts = np.unique(r, return_counts=True)
+    order = np.argsort(-counts)
+    part_sizes = np.zeros(n_parts, np.int64)
+    rel_parts: List[List[int]] = [[] for _ in range(n_parts)]
+    assignment = np.zeros(int(uniq.max()) + 1 if len(uniq) else 1, np.int64)
+    for idx in order:
+        rel, cnt = uniq[idx], counts[idx]
+        p = int(np.argmin(part_sizes))
+        part_sizes[p] += cnt
+        rel_parts[p].append(int(rel))
+        assignment[rel] = p
+    edge_part_of = assignment[r]
+    edge_parts = [np.nonzero(edge_part_of == p)[0] for p in range(n_parts)]
+    rel_parts = [np.asarray(sorted(rp), np.int64) for rp in rel_parts]
+    return edge_parts, rel_parts, False
+
+
+def soft_relation_partition(triples, n_parts: int, threshold: float = 0.05):
+    """Relations with more than `threshold` of the per-part edge share are
+    split across all parts ("cross" relations); the rest are pinned to one
+    part, greedily balancing edge counts
+    (reference SoftRelationPartition, sampler.py:32-148).
+
+    Returns (edge_parts, rel_parts, cross_part, cross_rels).
+    """
+    h, r, t = triples[0], triples[1], triples[2]
+    n = len(r)
+    uniq, counts = np.unique(r, return_counts=True)
+    big = counts > threshold * n / n_parts
+    cross_rels = set(int(x) for x in uniq[big])
+
+    part_sizes = np.zeros(n_parts, np.int64)
+    rel_parts: List[List[int]] = [[] for _ in range(n_parts)]
+    n_rel_max = int(uniq.max()) + 1 if len(uniq) else 1
+    assignment = np.full(n_rel_max, -1, np.int64)
+    order = np.argsort(-counts)
+    for idx in order:
+        rel, cnt = int(uniq[idx]), int(counts[idx])
+        if rel in cross_rels:
+            continue
+        p = int(np.argmin(part_sizes))
+        part_sizes[p] += cnt
+        rel_parts[p].append(rel)
+        assignment[rel] = p
+
+    rng = np.random.RandomState(0)
+    edge_parts: List[List[np.ndarray]] = [[] for _ in range(n_parts)]
+    pinned = assignment[r]
+    cross_mask = pinned < 0
+    # pinned edges go to their relation's part
+    for p in range(n_parts):
+        edge_parts[p].append(np.nonzero(pinned == p)[0])
+    # cross edges are spread to even out part sizes
+    cross_idx = np.nonzero(cross_mask)[0]
+    rng.shuffle(cross_idx)
+    sizes = np.array([len(e[0]) for e in edge_parts], np.int64)
+    target = (n + n_parts - 1) // n_parts
+    start = 0
+    for p in range(n_parts):
+        take = max(0, target - int(sizes[p]))
+        take = min(take, len(cross_idx) - start)
+        edge_parts[p].append(cross_idx[start:start + take])
+        start += take
+    # leftovers round-robin
+    p = 0
+    while start < len(cross_idx):
+        edge_parts[p % n_parts].append(cross_idx[start:start + 1])
+        start += 1
+        p += 1
+    edge_parts = [np.concatenate(e) for e in edge_parts]
+    # every part also owns the cross relations
+    rel_parts = [np.asarray(sorted(rp + list(cross_rels)), np.int64)
+                 for rp in rel_parts]
+    return edge_parts, rel_parts, len(cross_rels) > 0, sorted(cross_rels)
+
+
+# ---------------------------------------------------------------------------
+# Training sampler
+
+
+class TrainSampler:
+    """Infinite sampler of chunked-negative batches over one edge partition.
+
+    Equivalent to a (head, tail) pair of DGL EdgeSamplers wrapped in
+    NewBidirectionalOneShotIterator: every call to ``next`` returns a batch
+    alternating between head-corrupt and tail-corrupt negatives.
+    """
+
+    def __init__(self, dataset_or_triples, batch_size: int,
+                 neg_sample_size: int, n_entities: Optional[int] = None,
+                 edge_index: Optional[np.ndarray] = None, seed: int = 0,
+                 shuffle: bool = True):
+        if isinstance(dataset_or_triples, KGDataset):
+            triples = dataset_or_triples.train
+            n_entities = dataset_or_triples.n_entities
+        else:
+            triples = dataset_or_triples
+            assert n_entities is not None
+        self.h = np.ascontiguousarray(triples[0], np.int32)
+        self.r = np.ascontiguousarray(triples[1], np.int32)
+        self.t = np.ascontiguousarray(triples[2], np.int32)
+        self.impts = (np.ascontiguousarray(triples[3], np.float32)
+                      if len(triples) == 4 else None)
+        if edge_index is not None:
+            self.h = self.h[edge_index]
+            self.r = self.r[edge_index]
+            self.t = self.t[edge_index]
+            if self.impts is not None:
+                self.impts = self.impts[edge_index]
+        self.n_edges = len(self.h)
+        self.n_entities = n_entities
+        self.batch_size = batch_size
+        self.neg_sample_size = neg_sample_size
+        self.chunk_size = (neg_sample_size if neg_sample_size < batch_size
+                           else batch_size)
+        self.num_chunks = max(1, batch_size // self.chunk_size)
+        assert batch_size % self.chunk_size == 0, \
+            "batch_size must be divisible by neg_sample_size"
+        self.rng = np.random.RandomState(seed)
+        self.shuffle = shuffle
+        self._perm = None
+        self._pos = 0
+        self._neg_head = True  # alternates
+
+    def _refill(self):
+        self._perm = (self.rng.permutation(self.n_edges) if self.shuffle
+                      else np.arange(self.n_edges))
+        self._pos = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        b = self.batch_size
+        if self._perm is None or self._pos + b > len(self._perm):
+            self._refill()
+            # partitions smaller than a batch wrap around
+            while len(self._perm) < b:
+                self._perm = np.concatenate(
+                    [self._perm, self.rng.permutation(self.n_edges)])
+        idx = self._perm[self._pos:self._pos + b]
+        self._pos += b
+        neg = self.rng.randint(
+            0, self.n_entities,
+            self.num_chunks * self.neg_sample_size).astype(np.int32)
+        neg_head = self._neg_head
+        self._neg_head = not self._neg_head
+        batch = {
+            "h": self.h[idx], "r": self.r[idx], "t": self.t[idx],
+            "neg": neg, "neg_head": neg_head,
+            "impts": self.impts[idx] if self.impts is not None else None,
+        }
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# Evaluation: filter index + samplers
+
+
+class FilterIndex:
+    """Sorted-key lookup of all true (h,r)->tails and (r,t)->heads over
+    train+valid+test — the reference builds this as a DGL graph and asks the
+    C++ EdgeSampler for false-negative masks; here it is two sorted numpy
+    arrays + searchsorted, O(log N) per query and trivially shardable."""
+
+    def __init__(self, dataset: KGDataset):
+        hs, rs, ts = [], [], []
+        for split in (dataset.train, dataset.valid, dataset.test):
+            if split is None:
+                continue
+            hs.append(split[0])
+            rs.append(split[1])
+            ts.append(split[2])
+        h = np.concatenate(hs).astype(np.int64)
+        r = np.concatenate(rs).astype(np.int64)
+        t = np.concatenate(ts).astype(np.int64)
+        nr = dataset.n_relations
+
+        hr = h * nr + r
+        order = np.argsort(hr, kind="stable")
+        self._hr_keys = hr[order]
+        self._hr_tails = t[order].astype(np.int32)
+
+        tr = t * nr + r
+        order = np.argsort(tr, kind="stable")
+        self._tr_keys = tr[order]
+        self._tr_heads = h[order].astype(np.int32)
+        self._nr = nr
+
+    def true_tails(self, h: int, r: int) -> np.ndarray:
+        k = h * self._nr + r
+        lo = np.searchsorted(self._hr_keys, k, "left")
+        hi = np.searchsorted(self._hr_keys, k, "right")
+        return self._hr_tails[lo:hi]
+
+    def true_heads(self, r: int, t: int) -> np.ndarray:
+        k = t * self._nr + r
+        lo = np.searchsorted(self._tr_keys, k, "left")
+        hi = np.searchsorted(self._tr_keys, k, "right")
+        return self._tr_heads[lo:hi]
+
+
+def _pad_bucket(n: int) -> int:
+    """Pad filter-list width to a power-of-two bucket to bound the number of
+    distinct jit specializations."""
+    return max(8, 1 << (n - 1).bit_length())
+
+
+class EvalSampler:
+    """Batches of eval triples with padded filtered-id lists.
+
+    mode: 'head' corrupts heads, 'tail' corrupts tails (the reference's
+    chunk-head / chunk-tail eval samplers). Per-rank striding via
+    (rank, ranks).  Yields dicts with h/r/t [B] plus filter_ids/filter_mask
+    [B, F] when filtering is on.
+    """
+
+    def __init__(self, dataset: KGDataset, split: str, batch_size: int,
+                 mode: str, filter_index: Optional[FilterIndex] = None,
+                 eval_percent: float = 1.0, rank: int = 0, ranks: int = 1,
+                 seed: int = 0):
+        triples = getattr(dataset, split)
+        assert triples is not None, f"dataset has no {split} split"
+        h, r, t = (np.asarray(triples[0], np.int64),
+                   np.asarray(triples[1], np.int64),
+                   np.asarray(triples[2], np.int64))
+        n = len(h)
+        idx = np.arange(n)
+        if eval_percent < 1.0:
+            rng = np.random.RandomState(seed)
+            idx = rng.permutation(n)[:max(1, int(n * eval_percent))]
+            idx = np.sort(idx)
+        idx = idx[rank::ranks]  # per-rank striding (sampler.py:772-775)
+        self.h, self.r, self.t = h[idx], r[idx], t[idx]
+        self.batch_size = batch_size
+        self.mode = mode
+        self.filter = filter_index
+        self.n = len(self.h)
+
+    def __len__(self):
+        return -(-self.n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        b = self.batch_size
+        for start in range(0, self.n, b):
+            h = self.h[start:start + b]
+            r = self.r[start:start + b]
+            t = self.t[start:start + b]
+            nb = len(h)
+            if nb < b:  # pad the tail batch by repeating row 0; mask later
+                pad = b - nb
+                h = np.concatenate([h, np.repeat(h[:1], pad)])
+                r = np.concatenate([r, np.repeat(r[:1], pad)])
+                t = np.concatenate([t, np.repeat(t[:1], pad)])
+            out = {
+                "h": h.astype(np.int32), "r": r.astype(np.int32),
+                "t": t.astype(np.int32), "n_valid": nb,
+                "neg_head": self.mode == "head",
+            }
+            if self.filter is not None:
+                lists = []
+                for i in range(b):
+                    if self.mode == "head":
+                        lists.append(self.filter.true_heads(r[i], t[i]))
+                    else:
+                        lists.append(self.filter.true_tails(h[i], r[i]))
+                width = _pad_bucket(max(1, max(len(l) for l in lists)))
+                ids = np.zeros((b, width), np.int32)
+                mask = np.zeros((b, width), np.float32)
+                for i, l in enumerate(lists):
+                    ids[i, :len(l)] = l
+                    mask[i, :len(l)] = 1.0
+                out["filter_ids"] = ids
+                out["filter_mask"] = mask
+            yield out

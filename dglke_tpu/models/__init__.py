@@ -1,0 +1,3 @@
+from dglke_tpu.models.score_functions import make_score_function  # noqa: F401
+from dglke_tpu.models.loss import LossGenerator  # noqa: F401
+from dglke_tpu.models.ke_model import KEModel, TrainState, metrics_from_ranks  # noqa: F401

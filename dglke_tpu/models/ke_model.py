@@ -1,0 +1,336 @@
+"""KEModel — the training/eval model, built around one jitted SPMD step.
+
+Replaces the reference's KEModel
+(/root/reference/python/dglke/models/general_models.py:183-680).  There is no
+graph object: a batch is integer arrays (h, r, t, neg) and the step is
+
+    gather -> [project] -> pos score -> chunked neg score -> loss
+           -> jax.grad over the *gathered rows only*
+           -> segment-dedup -> row-sparse Adagrad scatter
+
+Gradients are taken w.r.t. the gathered rows (the reference's "trace"),
+never the full tables, so the backward pass is O(batch), and the scatter-add
+updates are sparse.  Both head-corrupt and tail-corrupt steps are compiled
+once each (static `neg_head`), mirroring the reference's alternating
+head/tail samplers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dglke_tpu.config import KGEConfig
+from dglke_tpu.models.loss import LossGenerator, regularization
+from dglke_tpu.models.score_functions import (
+    ScoreFunction,
+    TransRScore,
+    make_score_function,
+)
+from dglke_tpu.ops.embedding import (
+    EmbeddingState,
+    gather_rows,
+    init_embedding,
+    sparse_adagrad_update,
+)
+
+
+class TrainState(NamedTuple):
+    entity: EmbeddingState
+    relation: EmbeddingState
+    projection: Optional[EmbeddingState]  # TransR only
+    step: jnp.ndarray                     # int32 scalar
+
+
+class KEModel:
+    """Owns table shapes + the score function; state itself is a pytree so
+    it can live sharded on the device mesh and flow through jit."""
+
+    def __init__(self, config: KGEConfig, n_entities: int, n_relations: int):
+        config.validate()
+        self.config = config
+        self.n_entities = n_entities
+        self.n_relations = n_relations
+        score_fn, entity_dim, relation_dim = make_score_function(
+            config.model_name, config.gamma, config.hidden_dim,
+            config.double_ent, config.double_rel)
+        self.score_fn: ScoreFunction = score_fn
+        self.entity_dim = entity_dim
+        self.relation_dim = relation_dim
+        self.is_transr = isinstance(score_fn, TransRScore)
+        self.loss_gen = LossGenerator(
+            loss_genre=config.loss_genre,
+            neg_adversarial_sampling=config.neg_adversarial_sampling,
+            adversarial_temperature=config.adversarial_temperature,
+            pairwise=config.pairwise,
+            margin=config.margin,
+        )
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        k_e, k_r, k_p = jax.random.split(key, 3)
+        emb_init = self.config.emb_init
+        entity = init_embedding(k_e, self.n_entities, self.entity_dim, emb_init)
+        relation = init_embedding(k_r, self.n_relations, self.relation_dim,
+                                  emb_init)
+        projection = None
+        if self.is_transr:
+            # reference inits the projection with range 1.0
+            # (score_fun.py:173-174: projection_emb.init(1.0))
+            projection = init_embedding(
+                k_p, self.n_relations, self.entity_dim * self.relation_dim, 1.0)
+        return TrainState(entity=entity, relation=relation,
+                          projection=projection,
+                          step=jnp.zeros((), jnp.int32))
+
+    # -- forward -------------------------------------------------------------
+
+    def _pos_neg_scores(self, rows, rel_rows, neg_rows, proj_rows, *,
+                        neg_head: bool, num_chunks: int, chunk_size: int,
+                        neg_sample_size: int, neg_deg_sample: bool = False):
+        """rows = (h_rows, t_rows): gathered entity rows [B, De] each.
+
+        Returns (pos_score [B], neg_score [B, K'], K') where K' accounts for
+        neg_deg_sample doubling; masked entries are zeroed like the reference
+        (general_models.py:430-434).
+        """
+        h_rows, t_rows = rows
+        sf = self.score_fn
+        if self.is_transr:
+            h_proj = sf.project(h_rows, proj_rows)
+            t_proj = sf.project(t_rows, proj_rows)
+            pos = sf.pos_score(h_proj, rel_rows, t_proj)
+            # negatives: project each neg row against all chunk relations
+            neg_proj = sf.neg_project(neg_rows, proj_rows, num_chunks)
+            side = t_proj if neg_head else h_proj
+            side = side.reshape(num_chunks, chunk_size, self.relation_dim)
+            neg = sf.neg_score(side, rel_rows, neg_proj, neg_head=neg_head,
+                               num_chunks=num_chunks, chunk_size=chunk_size,
+                               neg_sample_size=neg_sample_size)
+            return pos, neg.reshape(-1, neg_sample_size), neg_sample_size
+
+        pos = sf.pos_score(h_rows, rel_rows, t_rows)
+        side = t_rows if neg_head else h_rows
+        k = neg_sample_size
+        if neg_deg_sample:
+            # Use the batch's own head/tail nodes as additional negatives;
+            # the diagonal (each positive vs itself) is masked to zero.
+            own = (h_rows if neg_head else t_rows).reshape(
+                num_chunks, chunk_size, -1)
+            extra = neg_rows.reshape(num_chunks, neg_sample_size, -1)
+            neg_rows = jnp.concatenate([own, extra], axis=1).reshape(
+                num_chunks * (chunk_size + neg_sample_size), -1)
+            k = chunk_size + neg_sample_size
+        neg = sf.neg_score(side, rel_rows, neg_rows, neg_head=neg_head,
+                           num_chunks=num_chunks, chunk_size=chunk_size,
+                           neg_sample_size=k)
+        if neg_deg_sample:
+            # mask[c, i, j]: positive i in chunk c against own-node j == i
+            eye = jnp.eye(chunk_size, k, dtype=neg.dtype)
+            neg = neg * (1.0 - eye)[None, :, :]
+        return pos, neg.reshape(-1, k), k
+
+    def loss_and_grads(self, state: TrainState, h, r, t, neg, impts, *,
+                       neg_head: bool):
+        """Compute loss + gradients w.r.t. the gathered rows."""
+        cfg = self.config
+        b = h.shape[0]
+        # Chunk structure comes from the sampler: the batch splits into C
+        # chunks of Bc positives, each sharing K = neg_sample_size negatives
+        # (reference create_neg_subgraph, sampler.py:459-512).
+        neg_sample_size = cfg.neg_sample_size
+        num_chunks = max(1, neg.shape[0] // neg_sample_size)
+        chunk_size = b // num_chunks
+        neg_sample_size = neg.shape[0] // num_chunks
+
+        h_rows = gather_rows(state.entity, h)
+        t_rows = gather_rows(state.entity, t)
+        rel_rows = gather_rows(state.relation, r)
+        neg_rows = gather_rows(state.entity, neg)
+        proj_rows = (gather_rows(state.projection, r)
+                     if self.is_transr else None)
+
+        def loss_fn(h_rows, t_rows, rel_rows, neg_rows, proj_rows):
+            pos, negs, _ = self._pos_neg_scores(
+                (h_rows, t_rows), rel_rows, neg_rows, proj_rows,
+                neg_head=neg_head, num_chunks=num_chunks,
+                chunk_size=chunk_size, neg_sample_size=neg_sample_size,
+                neg_deg_sample=cfg.neg_deg_sample)
+            loss, log = self.loss_gen.get_total_loss(pos, negs, impts)
+            if cfg.regularization_coef > 0.0 and cfg.regularization_norm > 0:
+                reg_rows = [h_rows, t_rows, neg_rows, rel_rows]
+                reg = regularization(cfg.regularization_coef,
+                                     cfg.regularization_norm, reg_rows)
+                log["regularization"] = reg
+                loss = loss + reg
+            return loss, log
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4)
+                                     if self.is_transr else (0, 1, 2, 3),
+                                     has_aux=True)
+        if self.is_transr:
+            (loss, log), grads = grad_fn(h_rows, t_rows, rel_rows, neg_rows,
+                                         proj_rows)
+        else:
+            (loss, log), grads = grad_fn(h_rows, t_rows, rel_rows, neg_rows,
+                                         proj_rows)
+            grads = grads + (None,)
+        return loss, log, grads
+
+    # -- train step ----------------------------------------------------------
+
+    def train_step(self, state: TrainState, h, r, t, neg, impts, *,
+                   neg_head: bool):
+        """One full step; designed to be jit-compiled (static neg_head)."""
+        cfg = self.config
+        loss, log, grads = self.loss_and_grads(state, h, r, t, neg, impts,
+                                               neg_head=neg_head)
+        g_h, g_t, g_r, g_neg, g_proj = grads
+
+        ent_ids = jnp.concatenate([h, t, neg])
+        ent_grads = jnp.concatenate([g_h, g_t, g_neg], axis=0)
+        entity = sparse_adagrad_update(state.entity, ent_ids, ent_grads,
+                                       cfg.lr)
+        relation = sparse_adagrad_update(state.relation, r, g_r, cfg.lr)
+        projection = state.projection
+        if self.is_transr:
+            projection = sparse_adagrad_update(state.projection, r, g_proj,
+                                               cfg.lr)
+        new_state = TrainState(entity=entity, relation=relation,
+                               projection=projection, step=state.step + 1)
+        return new_state, log
+
+    def make_train_step(self, donate: bool = True):
+        """Jit-compiled train step; two specializations (head/tail corrupt)."""
+        fn = functools.partial(self.train_step)
+
+        def step(state, h, r, t, neg, impts, neg_head):
+            return fn(state, h, r, t, neg, impts, neg_head=neg_head)
+
+        return jax.jit(step, static_argnames=("neg_head",),
+                       donate_argnums=(0,) if donate else ())
+
+    # -- evaluation ----------------------------------------------------------
+
+    def eval_ranks(self, state: TrainState, h, r, t, filter_ids, filter_mask,
+                   *, neg_head: bool, block: Optional[int] = None):
+        """Filtered ranks of each (h, r, t) against ALL entities.
+
+        rank_i = 1 + |{e not filtered : score_i(e) >= pos_i}| computed as
+        (total count >= pos) - (count over the filtered list >= pos), with the
+        true entity itself a member of the filtered list — identical to the
+        reference's masked ranking (general_models.py:436-485).
+
+        filter_ids: [B, F] padded entity ids whose triples exist in
+        train/valid/test (includes the true head/tail); filter_mask: [B, F]
+        1.0 for real entries.  Blocked over the entity axis so the full
+        [B, n_entities] score matrix never materializes for broadcast-heavy
+        models (TransE_l1 / RotatE).
+        """
+        cfg = self.config
+        b = h.shape[0]
+        sf = self.score_fn
+        if block is None:
+            # matmul-form models can take big candidate tiles; broadcast-form
+            # models (L1 / RotatE / TransR) materialize [B, block, D] diffs,
+            # so keep their tiles smaller.
+            block = 16384 if sf.name in ("TransE_l2", "DistMult", "ComplEx",
+                                         "RESCAL", "SimplE") else 2048
+        h_rows = gather_rows(state.entity, h)
+        t_rows = gather_rows(state.entity, t)
+        rel_rows = gather_rows(state.relation, r)
+        proj_rows = gather_rows(state.projection, r) if self.is_transr else None
+
+        if self.is_transr:
+            h_use = sf.project(h_rows, proj_rows)
+            t_use = sf.project(t_rows, proj_rows)
+        else:
+            h_use, t_use = h_rows, t_rows
+        pos = sf.pos_score(h_use, rel_rows, t_use)
+
+        side = t_use if neg_head else h_use
+
+        n_ent = state.entity.emb.shape[0]
+        n_blocks = -(-n_ent // block)
+        padded = n_blocks * block
+
+        def score_block(start):
+            ids = start + jnp.arange(block)
+            ids_c = jnp.minimum(ids, n_ent - 1)
+            cand = state.entity.emb[ids_c]
+            if self.is_transr:
+                cand_p = sf.neg_project(cand, proj_rows, 1)
+                s = sf.neg_score(side.reshape(1, b, -1), rel_rows, cand_p,
+                                 neg_head=neg_head, num_chunks=1,
+                                 chunk_size=b, neg_sample_size=block)
+            else:
+                s = sf.neg_score(side, rel_rows, cand, neg_head=neg_head,
+                                 num_chunks=1, chunk_size=b,
+                                 neg_sample_size=block)
+            s = s.reshape(b, block)
+            valid = (ids < n_ent)[None, :]
+            return jnp.sum((s >= pos[:, None]) & valid, axis=1)
+
+        starts = jnp.arange(n_blocks) * block
+        counts = jax.lax.map(score_block, starts)     # [n_blocks, B]
+        total_ge = jnp.sum(counts, axis=0)            # [B]
+
+        # scores at the filtered ids (padded); subtract those >= pos
+        f = filter_ids.shape[1]
+        cand = state.entity.emb[filter_ids.reshape(-1)]
+        if self.is_transr:
+            # project each filtered candidate with its own row's relation
+            p = proj_rows.reshape(b, self.entity_dim, self.relation_dim)
+            cand = cand.reshape(b, f, self.entity_dim)
+            cand = jnp.einsum("bfd,bdr->bfr", cand, p,
+                              preferred_element_type=jnp.float32)
+        else:
+            cand = cand.reshape(b, f, -1)
+        if neg_head:
+            fs = sf.pos_score(cand, rel_rows[:, None, :], t_use[:, None, :])
+        else:
+            fs = sf.pos_score(h_use[:, None, :], rel_rows[:, None, :], cand)
+        filt_ge = jnp.sum((fs >= pos[:, None]) & (filter_mask > 0), axis=1)
+        return total_ge - filt_ge + 1
+
+    def eval_ranks_sampled(self, state: TrainState, h, r, t, cand_ids, *,
+                           neg_head: bool):
+        """Unfiltered rank against a candidate list [B, K]
+        (wikikg90M-style / --no_eval_filter with sampled negatives)."""
+        sf = self.score_fn
+        b = h.shape[0]
+        h_rows = gather_rows(state.entity, h)
+        t_rows = gather_rows(state.entity, t)
+        rel_rows = gather_rows(state.relation, r)
+        pos = sf.pos_score(h_rows, rel_rows, t_rows)
+        k = cand_ids.shape[1]
+        cand = state.entity.emb[cand_ids.reshape(-1)]
+        side = t_rows if neg_head else h_rows
+        # one chunk per row: [B, 1, K]
+        s = sf.neg_score(side, rel_rows, cand, neg_head=neg_head,
+                         num_chunks=b, chunk_size=1, neg_sample_size=k)
+        s = s.reshape(b, k)
+        return jnp.sum(s >= pos[:, None], axis=1) + 1
+
+    def make_eval_step(self):
+        def step(state, h, r, t, filter_ids, filter_mask, neg_head):
+            return self.eval_ranks(state, h, r, t, filter_ids, filter_mask,
+                                   neg_head=neg_head)
+        return jax.jit(step, static_argnames=("neg_head",))
+
+
+def metrics_from_ranks(ranks: np.ndarray) -> Dict[str, float]:
+    """MRR / MR / HITS@{1,3,10} averaged, matching general_models.py:473-485."""
+    ranks = np.asarray(ranks, dtype=np.float64)
+    return {
+        "MRR": float(np.mean(1.0 / ranks)),
+        "MR": float(np.mean(ranks)),
+        "HITS@1": float(np.mean(ranks <= 1)),
+        "HITS@3": float(np.mean(ranks <= 3)),
+        "HITS@10": float(np.mean(ranks <= 10)),
+    }

@@ -1,0 +1,91 @@
+"""Embedding tables + row-sparse Adagrad, TPU-native.
+
+The reference keeps embeddings in a CPU/shm ``ExternalEmbedding`` with a
+per-row Adagrad accumulator and applies updates with ``index_add_``
+(/root/reference/python/dglke/models/pytorch/tensor_models.py:304-362):
+
+    state_sum[ids] += mean(grad**2, dim=1)          # per occurrence
+    std = sqrt(state_sum[ids]) + 1e-10              # read AFTER all adds
+    emb[ids]       += -lr * grad / std              # per occurrence
+
+Because ``std`` is gathered after the full accumulation, duplicate ids are
+mathematically equivalent to a *deduplicated* update with segment-summed
+gradients:
+
+    per unique id u:  state_sum[u] += sum_occ mean(grad_occ**2, dim=1)
+                      emb[u]       += -lr * (sum_occ grad_occ) / sqrt(state')
+
+which is exactly what we compute here with a static-shape sort + segment-sum
+(no jnp.unique — shapes stay static for XLA).  The scatter itself is an XLA
+scatter-add whose cost scales with the batch, not the table.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class EmbeddingState(NamedTuple):
+    """One embedding table plus its Adagrad row accumulator."""
+
+    emb: jnp.ndarray        # [num, dim] fp32
+    state_sum: jnp.ndarray  # [num] fp32
+
+
+def init_embedding(key: jax.Array, num: int, dim: int,
+                   emb_init: float, dtype=jnp.float32) -> EmbeddingState:
+    """Uniform(-emb_init, emb_init) init, zero Adagrad state
+    (reference tensor_models.py:240-248)."""
+    emb = jax.random.uniform(key, (num, dim), dtype=dtype,
+                             minval=-emb_init, maxval=emb_init)
+    return EmbeddingState(emb=emb, state_sum=jnp.zeros((num,), dtype=dtype))
+
+
+def segment_dedup(ids: jnp.ndarray, grads: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Static-shape dedup: sum gradient rows of duplicate ids.
+
+    Returns (uniq_ids [N], uniq_grads [N, D], uniq_sq [N]) where only the
+    first `n_unique` slots are populated; the rest have id 0 and zero grads
+    (safe no-op rows for scatter-add).  uniq_sq is the segment sum of
+    mean(grad**2, axis=1) — the reference's per-occurrence state increment.
+    """
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    sgrads = grads[order]
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sids[1:] != sids[:-1]).astype(jnp.int32)])
+    seg = jnp.cumsum(head) - 1                     # segment index per position
+    uniq_grads = jnp.zeros_like(grads).at[seg].add(sgrads)
+    sq = jnp.mean(sgrads * sgrads, axis=1)
+    uniq_sq = jnp.zeros((n,), grads.dtype).at[seg].add(sq)
+    uniq_ids = jnp.zeros((n,), ids.dtype).at[seg].max(sids)
+    # Unused slots keep id 0 with zero grads/sq: harmless under scatter-add.
+    return uniq_ids, uniq_grads, uniq_sq
+
+
+def sparse_adagrad_update(table: EmbeddingState, ids: jnp.ndarray,
+                          grads: jnp.ndarray, lr: float) -> EmbeddingState:
+    """Apply the reference's row-sparse Adagrad for one (ids, grads) batch.
+
+    ids: [N] int32 (duplicates allowed); grads: [N, D] fp32.
+    """
+    uniq_ids, uniq_grads, uniq_sq = segment_dedup(ids, grads)
+    state_sum = table.state_sum.at[uniq_ids].add(uniq_sq)
+    std = jnp.sqrt(state_sum[uniq_ids]) + 1e-10
+    delta = (-lr) * uniq_grads / std[:, None]
+    emb = table.emb.at[uniq_ids].add(delta.astype(table.emb.dtype))
+    return EmbeddingState(emb=emb, state_sum=state_sum)
+
+
+def gather_rows(table: EmbeddingState, ids: jnp.ndarray,
+                dtype=None) -> jnp.ndarray:
+    """Minibatch gather (the reference's ExternalEmbedding.__call__)."""
+    rows = table.emb[ids]
+    if dtype is not None and rows.dtype != dtype:
+        rows = rows.astype(dtype)
+    return rows
