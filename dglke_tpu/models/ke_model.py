@@ -280,23 +280,24 @@ class KEModel:
         counts = jax.lax.map(score_block, starts)     # [n_blocks, B]
         total_ge = jnp.sum(counts, axis=0)            # [B]
 
-        # scores at the filtered ids (padded); subtract those >= pos
+        # Scores at the filtered ids (padded), computed with the SAME
+        # neg-form kernel as the total count (one chunk per row), so that a
+        # filtered candidate's score is bit-identical in both counts and the
+        # subtraction is exact even for near-ties (the matmul-expansion
+        # distance differs from the direct form by a few ulps).
         f = filter_ids.shape[1]
         cand = state.entity.emb[filter_ids.reshape(-1)]
         if self.is_transr:
-            # project each filtered candidate with its own row's relation
-            p = proj_rows.reshape(b, self.entity_dim, self.relation_dim)
-            cand = cand.reshape(b, f, self.entity_dim)
-            cand = jnp.einsum("bfd,bdr->bfr", cand, p,
-                              preferred_element_type=jnp.float32)
+            cand_p = sf.neg_project(cand, proj_rows, b)  # [B, 1, F, Dr]
+            fs = sf.neg_score(side.reshape(b, 1, -1), rel_rows, cand_p,
+                              neg_head=neg_head, num_chunks=b, chunk_size=1,
+                              neg_sample_size=f)
         else:
-            cand = cand.reshape(b, f, -1)
-        if neg_head:
-            fs = sf.pos_score(cand, rel_rows[:, None, :], t_use[:, None, :])
-        else:
-            fs = sf.pos_score(h_use[:, None, :], rel_rows[:, None, :], cand)
+            fs = sf.neg_score(side, rel_rows, cand, neg_head=neg_head,
+                              num_chunks=b, chunk_size=1, neg_sample_size=f)
+        fs = fs.reshape(b, f)
         filt_ge = jnp.sum((fs >= pos[:, None]) & (filter_mask > 0), axis=1)
-        return total_ge - filt_ge + 1
+        return jnp.maximum(total_ge - filt_ge, 0) + 1
 
     def eval_ranks_sampled(self, state: TrainState, h, r, t, cand_ids, *,
                            neg_head: bool):

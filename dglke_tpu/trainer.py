@@ -1,0 +1,201 @@
+"""Training / evaluation driver.
+
+Replaces the reference's trainer layer (train_pytorch.py:110-265).  Instead
+of per-process hogwild workers, there is ONE process: the jitted SPMD step
+runs on all local devices (batch axis sharded over the mesh), and a
+background prefetch thread keeps the device queue fed — the TPU equivalent
+of the reference's worker threads + async_update pipeline.
+
+The log format mirrors the reference ("[proc 0][Train] average loss: ..."
+every log_interval, plus per-phase timers) so existing tooling can parse it.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dglke_tpu.config import KGEConfig
+from dglke_tpu.data.dataset import KGDataset
+from dglke_tpu.data.sampler import EvalSampler, FilterIndex, TrainSampler
+from dglke_tpu.models.ke_model import KEModel, TrainState, metrics_from_ranks
+from dglke_tpu.parallel.mesh import ShardingPlan
+
+
+class Prefetcher:
+    """Background thread that pulls host batches and stages them on device,
+    double-buffered so host sampling overlaps device compute.
+
+    On the CPU backend (tests / virtual multi-device), staging happens on the
+    consumer thread instead: concurrent device_put from a second thread can
+    starve XLA:CPU's collective rendezvous on small hosts.
+    """
+
+    def __init__(self, it: Iterable, device_put, depth: int = 2,
+                 stage_in_worker: Optional[bool] = None):
+        self._it = iter(it)
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._put = device_put
+        self._stop = False
+        if stage_in_worker is None:
+            stage_in_worker = jax.default_backend() != "cpu"
+        self._stage_in_worker = stage_in_worker
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for batch in self._it:
+                staged = self._put(batch) if self._stage_in_worker else batch
+                while not self._stop:
+                    try:
+                        self._q.put(staged, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop:
+                    return
+        except Exception as e:  # surface errors to the consumer
+            self._q.put(e)
+
+    def __next__(self):
+        item = self._q.get()
+        if isinstance(item, Exception):
+            raise item
+        return item if self._stage_in_worker else self._put(item)
+
+    def close(self):
+        self._stop = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+
+
+def _put_batch(plan: Optional[ShardingPlan]):
+    def put(batch):
+        arrs = {k: v for k, v in batch.items()
+                if isinstance(v, np.ndarray)}
+        if plan is None:
+            dev = {k: jax.device_put(v) for k, v in arrs.items()}
+        else:
+            dev = plan.put_batch(arrs)
+        out = dict(batch)
+        out.update(dev)
+        return out
+    return put
+
+
+def train(config: KGEConfig, dataset: KGDataset,
+          model: Optional[KEModel] = None,
+          state: Optional[TrainState] = None,
+          plan: Optional[ShardingPlan] = None,
+          valid_samplers: Optional[list] = None,
+          log=print) -> tuple:
+    """Run the training loop; returns (model, state, time_info)."""
+    cfg = config
+    model = model or KEModel(cfg, dataset.n_entities, dataset.n_relations)
+    if state is None:
+        state = model.init_state(jax.random.PRNGKey(cfg.seed))
+        if plan is not None:
+            state = plan.put_state(state)
+
+    sampler = TrainSampler(dataset, cfg.batch_size, cfg.neg_sample_size,
+                           seed=cfg.seed)
+    prefetch = Prefetcher(sampler, _put_batch(plan))
+    step_fn = model.make_train_step()
+
+    logs: list = []
+    start = time.time()
+    sample_time = update_time = 0.0
+    tic = time.time()
+    for step in range(cfg.max_step):
+        t0 = time.time()
+        batch = next(prefetch)
+        sample_time += time.time() - t0
+
+        t0 = time.time()
+        state, log_dict = step_fn(state, batch["h"], batch["r"], batch["t"],
+                                  batch["neg"], batch.get("impts"),
+                                  batch["neg_head"])
+        update_time += time.time() - t0
+        logs.append(log_dict)
+
+        if (step + 1) % cfg.log_interval == 0:
+            host_logs = jax.device_get(logs)
+            for k in host_logs[0]:
+                v = float(np.mean([l[k] for l in host_logs]))
+                log(f"[proc 0][Train]({step + 1}/{cfg.max_step}) "
+                    f"average {k}: {v}")
+            logs = []
+            log(f"[proc 0][Train] {cfg.log_interval} steps take "
+                f"{time.time() - tic:.3f} seconds")
+            log(f"[proc 0]sample: {sample_time:.3f}, "
+                f"update: {update_time:.3f}")
+            sample_time = update_time = 0.0
+            tic = time.time()
+
+        if (cfg.valid and valid_samplers is not None
+                and (step + 1) % cfg.eval_interval == 0):
+            vm = evaluate_with_samplers(model, state, valid_samplers,
+                                        phase="Valid", log=log)
+    total = time.time() - start
+    log(f"[proc 0]training takes {total} seconds")
+    prefetch.close()
+    return model, state, {"train_time": total}
+
+
+def evaluate(config: KGEConfig, dataset: KGDataset, model: KEModel,
+             state: TrainState, split: str = "test",
+             filter_index: Optional[FilterIndex] = None,
+             log=print, phase: str = "Test") -> Dict[str, float]:
+    """Filtered (or raw) ranking evaluation over both corrupt modes,
+    mirroring the reference protocol: every eval triple is ranked under
+    head-corruption AND tail-corruption; metrics average over both
+    (train_pytorch.py:199-253)."""
+    cfg = config
+    if cfg.eval_filter and filter_index is None:
+        filter_index = FilterIndex(dataset)
+    samplers = [
+        EvalSampler(dataset, split, cfg.batch_size_eval, mode,
+                    filter_index if cfg.eval_filter else None,
+                    eval_percent=cfg.eval_percent)
+        for mode in ("head", "tail")
+    ]
+    return evaluate_with_samplers(model, state, samplers, phase=phase,
+                                  log=log)
+
+
+def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
+                           phase: str = "Test", log=print) -> Dict[str, float]:
+    eval_fn = model.make_eval_step()
+    all_ranks = []
+    start = time.time()
+    for sampler in samplers:
+        for batch in sampler:
+            if "filter_ids" in batch:
+                ranks = eval_fn(state, batch["h"], batch["r"], batch["t"],
+                                batch["filter_ids"], batch["filter_mask"],
+                                batch["neg_head"])
+            else:
+                # unfiltered: empty filter list (mask 0 everywhere)
+                b = len(batch["h"])
+                fid = np.zeros((b, 8), np.int32)
+                fmask = np.zeros((b, 8), np.float32)
+                ranks = eval_fn(state, batch["h"], batch["r"], batch["t"],
+                                fid, fmask, batch["neg_head"])
+            all_ranks.append(np.asarray(ranks)[: batch["n_valid"]])
+    ranks = np.concatenate(all_ranks)
+    metrics = metrics_from_ranks(ranks)
+    for k, v in metrics.items():
+        log(f"[0]{phase} average {k}: {v}")
+    log(f"[0]{phase} takes {time.time() - start:.3f} seconds")
+    return metrics

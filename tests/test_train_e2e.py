@@ -1,0 +1,104 @@
+"""End-to-end training tests on synthetic data: the model must actually
+learn (filtered MRR far above random), checkpoints must round-trip, and the
+SPMD path must produce the same quality on an 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dglke_tpu.config import KGEConfig
+from dglke_tpu.data.dataset import synthetic_dataset
+from dglke_tpu.data.sampler import FilterIndex
+from dglke_tpu.models.ke_model import KEModel
+from dglke_tpu.trainer import evaluate, train
+from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
+
+
+def small_config(**kw):
+    base = dict(
+        model_name="TransE_l2", hidden_dim=32, gamma=6.0, lr=0.25,
+        batch_size=256, neg_sample_size=64, max_step=300,
+        batch_size_eval=16, log_interval=100, neg_adversarial_sampling=True,
+        regularization_coef=1e-9, seed=7, dataset="synthetic",
+    )
+    base.update(kw)
+    return KGEConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def tiny_ds():
+    return synthetic_dataset(n_entities=200, n_relations=5, n_train=4000,
+                             n_valid=100, n_test=100, seed=3)
+
+
+def _run(cfg, ds, plan=None):
+    logs = []
+    model, state, _ = train(cfg, ds, plan=plan, log=logs.append)
+    metrics = evaluate(cfg, ds, model, state, "test", log=logs.append)
+    return model, state, metrics, logs
+
+
+def test_transe_learns(tiny_ds):
+    cfg = small_config()
+    model, state, metrics, logs = _run(cfg, tiny_ds)
+    # random-guess MRR on 200 entities ~ 0.03; structure should be learnable
+    assert metrics["MRR"] > 0.20, metrics
+    assert metrics["HITS@10"] > 0.35, metrics
+
+
+def test_distmult_learns(tiny_ds):
+    cfg = small_config(model_name="DistMult", regularization_coef=2e-6,
+                       neg_adversarial_sampling=False)
+    _, _, metrics, _ = _run(cfg, tiny_ds)
+    assert metrics["MRR"] > 0.15, metrics
+
+
+def test_rotate_learns(tiny_ds):
+    cfg = small_config(model_name="RotatE", double_ent=True, max_step=200)
+    _, _, metrics, _ = _run(cfg, tiny_ds)
+    assert metrics["MRR"] > 0.15, metrics
+
+
+def test_transr_learns(tiny_ds):
+    cfg = small_config(model_name="TransR", hidden_dim=16, max_step=200)
+    _, _, metrics, _ = _run(cfg, tiny_ds)
+    assert metrics["MRR"] > 0.10, metrics
+
+
+def test_checkpoint_roundtrip(tiny_ds, tmp_path):
+    from dglke_tpu.utils.io import load_config, load_model_state, save_model
+
+    cfg = small_config(max_step=50, save_path=str(tmp_path / "ckpt"))
+    model, state, metrics, _ = _run(cfg, tiny_ds)
+    path = save_model(cfg, model, state)
+
+    cfg2 = load_config(path)
+    assert cfg2.model_name == cfg.model_name
+    model2 = KEModel(cfg2, tiny_ds.n_entities, tiny_ds.n_relations)
+    state2 = load_model_state(cfg2, model2, path)
+    np.testing.assert_array_equal(np.asarray(state.entity.emb),
+                                  np.asarray(state2.entity.emb))
+    np.testing.assert_array_equal(np.asarray(state.entity.state_sum),
+                                  np.asarray(state2.entity.state_sum))
+    m2 = evaluate(cfg2, tiny_ds, model2, state2, "test", log=lambda *_: None)
+    assert abs(m2["MRR"] - metrics["MRR"]) < 1e-6
+
+
+@pytest.mark.parametrize("table_sharding", ["replicated", "vocab"])
+def test_multi_device_spmd(tiny_ds, table_sharding):
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    mesh = make_mesh(8)
+    plan = ShardingPlan(mesh, table_sharding=table_sharding)
+    cfg = small_config(max_step=200)
+    _, _, metrics, _ = _run(cfg, tiny_ds, plan=plan)
+    assert metrics["MRR"] > 0.15, metrics
+
+
+def test_deterministic_seed(tiny_ds):
+    cfg = small_config(max_step=30)
+    _, s1, m1, _ = _run(cfg, tiny_ds)
+    _, s2, m2, _ = _run(cfg, tiny_ds)
+    np.testing.assert_array_equal(np.asarray(s1.entity.emb),
+                                  np.asarray(s2.entity.emb))
+    assert m1 == m2
