@@ -1,0 +1,79 @@
+"""Shared CLI argument surface -> KGEConfig.
+
+Mirrors the reference's CommonArgParser (utils.py:199-297) plus the
+train-specific flags (train.py:40-60), so scripts written against dglke's
+CLI work with `dglke_tpu` by renaming the executable.  GPU/process flags are
+accepted for compatibility; on TPU they map to mesh settings.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from dglke_tpu.config import KGEConfig, LOSS_GENRES, MODEL_NAMES
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model_name", default="TransE",
+                   choices=list(MODEL_NAMES))
+    p.add_argument("--data_path", type=str, default="data")
+    p.add_argument("--dataset", type=str, default="FB15k")
+    p.add_argument("--format", type=str, default="built_in")
+    p.add_argument("--data_files", type=str, default=None, nargs="+")
+    p.add_argument("--delimiter", type=str, default="\t")
+    p.add_argument("--save_path", type=str, default="ckpts")
+    p.add_argument("--no_save_emb", action="store_true")
+    p.add_argument("--max_step", type=int, default=80000)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--batch_size_eval", type=int, default=8)
+    p.add_argument("--neg_sample_size", type=int, default=256)
+    p.add_argument("--neg_deg_sample", action="store_true")
+    p.add_argument("--neg_deg_sample_eval", action="store_true")
+    p.add_argument("--neg_sample_size_eval", type=int, default=-1)
+    p.add_argument("--eval_percent", type=float, default=1.0)
+    p.add_argument("--no_eval_filter", action="store_true")
+    p.add_argument("-log", "--log_interval", type=int, default=1000)
+    p.add_argument("--eval_interval", type=int, default=10000)
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--num_proc", type=int, default=1)
+    p.add_argument("--num_thread", type=int, default=1)
+    p.add_argument("--force_sync_interval", type=int, default=-1)
+    p.add_argument("--hidden_dim", type=int, default=400)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("-g", "--gamma", type=float, default=12.0)
+    p.add_argument("-de", "--double_ent", action="store_true")
+    p.add_argument("-dr", "--double_rel", action="store_true")
+    p.add_argument("-adv", "--neg_adversarial_sampling", action="store_true")
+    p.add_argument("-a", "--adversarial_temperature", default=1.0,
+                   type=float)
+    p.add_argument("-rc", "--regularization_coef", type=float, default=2e-6)
+    p.add_argument("-rn", "--regularization_norm", type=int, default=3)
+    p.add_argument("-pw", "--pairwise", action="store_true")
+    p.add_argument("--loss_genre", default="Logsigmoid",
+                   choices=list(LOSS_GENRES))
+    p.add_argument("-m", "--margin", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--has_edge_importance", action="store_true")
+
+
+def add_train_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--gpu", type=int, default=[-1], nargs="+",
+                   help="accepted for compatibility; devices come from "
+                        "jax.devices()")
+    p.add_argument("--mix_cpu_gpu", action="store_true",
+                   help="compatibility no-op: tables are HBM-resident")
+    p.add_argument("--valid", action="store_true")
+    p.add_argument("--rel_part", action="store_true")
+    p.add_argument("--async_update", action="store_true",
+                   help="compatibility no-op: XLA pipelining replaces it")
+    p.add_argument("--table_sharding", default="replicated",
+                   choices=["replicated", "vocab"],
+                   help="how embedding tables are laid out over the mesh")
+
+
+def config_from_args(args: argparse.Namespace) -> KGEConfig:
+    fields = {f.name for f in
+              __import__("dataclasses").fields(KGEConfig)}
+    d = {k: v for k, v in vars(args).items() if k in fields}
+    cfg = KGEConfig(**d)
+    return cfg.with_compatible_batch_size().validate()

@@ -1,0 +1,48 @@
+"""`dglke_tpu-eval` — standalone evaluation of a saved checkpoint
+(reference: dglke_eval, eval.py)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+from dglke_tpu.cli.args import add_common_args, config_from_args
+from dglke_tpu.data.dataset import get_dataset
+from dglke_tpu.models.ke_model import KEModel
+from dglke_tpu.trainer import evaluate
+from dglke_tpu.utils.io import load_model_state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("dglke_tpu-eval")
+    add_common_args(parser)
+    parser.add_argument("--model_path", type=str, default="ckpts",
+                        help="directory containing the saved checkpoint")
+    parser.add_argument("--gpu", type=int, default=[-1], nargs="+")
+    parser.add_argument("--mix_cpu_gpu", action="store_true")
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+
+    # adopt model hyper-parameters from the checkpoint's config.json when
+    # present so eval flags can stay minimal
+    conf = os.path.join(args.model_path, "config.json")
+    if os.path.exists(conf):
+        from dglke_tpu.config import KGEConfig
+        saved = KGEConfig.load(conf)
+        cfg = dataclasses.replace(
+            cfg, model_name=saved.model_name, hidden_dim=saved.hidden_dim,
+            gamma=saved.gamma, double_ent=saved.double_ent,
+            double_rel=saved.double_rel, dataset=saved.dataset)
+
+    dataset = get_dataset(cfg.data_path, cfg.dataset, cfg.format,
+                          cfg.delimiter, cfg.data_files,
+                          cfg.has_edge_importance)
+    model = KEModel(cfg, dataset.n_entities, dataset.n_relations)
+    state = load_model_state(cfg, model, args.model_path)
+    evaluate(cfg, dataset, model, state, "test")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,80 @@
+"""`dglke_tpu-train` — training CLI (reference: dglke_train, train.py)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+from dglke_tpu.cli.args import add_common_args, add_train_args, \
+    config_from_args
+from dglke_tpu.data.dataset import get_dataset
+from dglke_tpu.data.sampler import FilterIndex
+from dglke_tpu.models.ke_model import KEModel
+from dglke_tpu.trainer import evaluate, train
+from dglke_tpu.utils.io import save_model
+
+
+def prepare_save_path(cfg):
+    os.makedirs(cfg.save_path, exist_ok=True)
+    folder = f"{cfg.model_name}_{cfg.dataset}_"
+    n = len([x for x in os.listdir(cfg.save_path) if x.startswith(folder)])
+    path = os.path.join(cfg.save_path, folder + str(n))
+    os.makedirs(path, exist_ok=True)
+    return dataclasses.replace(cfg, save_path=path)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("dglke_tpu-train")
+    add_common_args(parser)
+    add_train_args(parser)
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    cfg = prepare_save_path(cfg)
+
+    init_start = time.time()
+    dataset = get_dataset(cfg.data_path, cfg.dataset, cfg.format,
+                          cfg.delimiter, cfg.data_files,
+                          cfg.has_edge_importance)
+    print(f"|Train|: {dataset.n_train}")
+
+    import jax
+    n_dev = len(jax.devices())
+    plan = None
+    if n_dev > 1:
+        from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
+        plan = ShardingPlan(make_mesh(n_dev),
+                            table_sharding=args.table_sharding)
+        print(f"Using {n_dev}-device mesh "
+              f"(tables: {args.table_sharding})")
+
+    model = KEModel(cfg, dataset.n_entities, dataset.n_relations)
+    print(f"Init takes {time.time() - init_start:.3f} seconds")
+
+    filter_index = FilterIndex(dataset) if cfg.eval_filter else None
+    valid_samplers = None
+    if args.valid and dataset.valid is not None:
+        from dglke_tpu.data.sampler import EvalSampler
+        valid_samplers = [
+            EvalSampler(dataset, "valid", cfg.batch_size_eval, mode,
+                        filter_index, eval_percent=cfg.eval_percent)
+            for mode in ("head", "tail")
+        ]
+    cfg = dataclasses.replace(cfg, valid=args.valid)
+
+    model, state, info = train(cfg, dataset, model=model, plan=plan,
+                               valid_samplers=valid_samplers)
+
+    if not cfg.no_save_emb:
+        save_model(cfg, model, state, emap_file=dataset.emap_fname,
+                   rmap_file=dataset.rmap_fname)
+
+    if cfg.test and dataset.test is not None:
+        evaluate(cfg, dataset, model, state, "test",
+                 filter_index=filter_index)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

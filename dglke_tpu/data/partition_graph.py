@@ -1,0 +1,114 @@
+"""Offline graph partitioner for distributed training.
+
+TPU-native replacement for the reference's METIS partition driver
+(/root/reference/python/dglke/partition.py): produces the identical artifact
+layout —
+
+    partition_<p>/train.txt           local-id triples "src\trel\tdst"
+    partition_<p>/local_to_global.txt one global node id per line
+    partition_<p>/partition_book.txt  partition id of every global node
+    partition_<p>/relation_count.txt  total number of relations
+
+Instead of METIS, the default partitioner is LDG (Linear Deterministic
+Greedy) node streaming: each node goes to the partition holding most of its
+neighbors, discounted by partition fill — a standard one-pass approximation
+of min edge-cut that needs no native dependency.  `random` is available as
+a fallback / baseline.  Edges are assigned to their head node's partition;
+tail endpoints outside the partition become halo nodes (present in
+local_to_global, like DGL's 1-hop cached halo).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+def _build_csr(h: np.ndarray, t: np.ndarray, n_nodes: int):
+    """Undirected adjacency in CSR form via sorting (no scipy needed)."""
+    src = np.concatenate([h, t])
+    dst = np.concatenate([t, h])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    indptr = np.zeros(n_nodes + 1, np.int64)
+    counts = np.bincount(src, minlength=n_nodes)
+    np.cumsum(counts, out=indptr[1:])
+    return indptr, dst
+
+
+def ldg_partition(h: np.ndarray, t: np.ndarray, n_nodes: int, k: int,
+                  seed: int = 0) -> np.ndarray:
+    """One-pass LDG: returns partition id per node."""
+    indptr, adj = _build_csr(h, t, n_nodes)
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(n_nodes)
+    assign = np.full(n_nodes, -1, np.int32)
+    sizes = np.zeros(k, np.int64)
+    capacity = max(1.0, n_nodes / k)
+    for node in order:
+        nbrs = adj[indptr[node]:indptr[node + 1]]
+        if len(nbrs):
+            placed = assign[nbrs]
+            placed = placed[placed >= 0]
+        else:
+            placed = np.empty(0, np.int32)
+        score = (np.bincount(placed, minlength=k).astype(np.float64)
+                 if len(placed) else np.zeros(k))
+        score *= 1.0 - sizes / capacity
+        # break ties toward the emptiest partition
+        p = int(np.argmax(score - 1e-9 * sizes))
+        assign[node] = p
+        sizes[p] += 1
+    return assign
+
+
+def random_node_partition(n_nodes: int, k: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, k, n_nodes).astype(np.int32)
+
+
+def partition_and_write(triples: Tuple[np.ndarray, ...], n_entities: int,
+                        n_relations: int, k: int, out_prefix: str,
+                        method: str = "ldg", seed: int = 0) -> dict:
+    """Partition the train graph and write the reference-format artifacts.
+
+    Returns {"edge_cut": int, "assign": np.ndarray}.
+    """
+    h, r, t = (np.asarray(triples[0], np.int64),
+               np.asarray(triples[1], np.int64),
+               np.asarray(triples[2], np.int64))
+    if method == "ldg":
+        assign = ldg_partition(h, t, n_entities, k, seed)
+    elif method == "random":
+        assign = random_node_partition(n_entities, k, seed)
+    else:
+        raise ValueError(f"unknown partition method {method}")
+
+    edge_part = assign[h]  # edge follows its head node
+    edge_cut = int(np.sum(assign[h] != assign[t]))
+
+    for p in range(k):
+        pdir = f"{out_prefix}{p}"
+        os.makedirs(pdir, exist_ok=True)
+        mask = edge_part == p
+        ph, pr, pt = h[mask], r[mask], t[mask]
+        # local node set: inner nodes first, then halo endpoints
+        inner = np.nonzero(assign == p)[0]
+        halo = np.setdiff1d(np.unique(np.concatenate([ph, pt])), inner)
+        local_nodes = np.concatenate([inner, halo])
+        g2l = {int(g): i for i, g in enumerate(local_nodes)}
+        with open(os.path.join(pdir, "train.txt"), "w") as f:
+            for i in range(len(ph)):
+                f.write(f"{g2l[int(ph[i])]}\t{int(pr[i])}\t"
+                        f"{g2l[int(pt[i])]}\n")
+        with open(os.path.join(pdir, "local_to_global.txt"), "w") as f:
+            f.writelines(f"{int(g)}\n" for g in local_nodes)
+        with open(os.path.join(pdir, "relation_count.txt"), "w") as f:
+            f.write(f"{n_relations}\n")
+    for p in range(k):
+        with open(os.path.join(f"{out_prefix}{p}", "partition_book.txt"),
+                  "w") as f:
+            f.writelines(f"{int(x)}\n" for x in assign)
+    return {"edge_cut": edge_cut, "assign": assign}
