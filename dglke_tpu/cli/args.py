@@ -69,6 +69,14 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--table_sharding", default="replicated",
                    choices=["replicated", "vocab"],
                    help="how embedding tables are laid out over the mesh")
+    p.add_argument("--dist", action="store_true",
+                   help="multi-host SPMD: initialize jax.distributed from "
+                        "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID and feed this host's edge partition")
+    p.add_argument("--partition_path", type=str, default=None,
+                   help="directory containing partition_<rank>/ artifacts "
+                        "from dglke_tpu-partition (defaults to "
+                        "data_path/dataset)")
 
 
 def config_from_args(args: argparse.Namespace) -> KGEConfig:

@@ -33,10 +33,29 @@ def main(argv=None):
     cfg = config_from_args(args)
     cfg = prepare_save_path(cfg)
 
+    if args.dist:
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+
     init_start = time.time()
-    dataset = get_dataset(cfg.data_path, cfg.dataset, cfg.format,
-                          cfg.delimiter, cfg.data_files,
-                          cfg.has_edge_importance)
+    if args.dist and args.partition_path is not None:
+        # per-host edge partition (dglke_tpu-partition artifacts); the
+        # entity table stays globally sharded over the pod mesh
+        import jax
+        from dglke_tpu.data.partition_dataset import load_partition
+        part = load_partition(args.partition_path, jax.process_index())
+        from dglke_tpu.data.dataset import KGDataset
+        dataset = KGDataset(name=cfg.dataset,
+                            n_entities=part.n_entities,
+                            n_relations=part.n_relations,
+                            train=part.train)
+    else:
+        dataset = get_dataset(cfg.data_path, cfg.dataset, cfg.format,
+                              cfg.delimiter, cfg.data_files,
+                              cfg.has_edge_importance)
     print(f"|Train|: {dataset.n_train}")
 
     import jax

@@ -1,0 +1,159 @@
+"""CLI integration smoke tests (mirrors tests/scripts/task_kg_test.sh in the
+reference): train -> eval -> predict -> emb_sim end to end over a fake
+raw_udd dataset fixture, exercising the checkpoint artifacts on disk."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fake_data(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fake_udd"))
+    rng = np.random.RandomState(0)
+    ents = [f"e{i}" for i in range(40)]
+    rels = [f"r{i}" for i in range(4)]
+    rows = []
+    for _ in range(600):
+        h = rng.randint(40)
+        r = rng.randint(4)
+        t = (h + r + 1) % 40
+        rows.append(f"{ents[h]}\t{rels[r]}\t{ents[t]}")
+    with open(os.path.join(d, "train.txt"), "w") as f:
+        f.write("\n".join(rows[:500]) + "\n")
+    with open(os.path.join(d, "valid.txt"), "w") as f:
+        f.write("\n".join(rows[500:550]) + "\n")
+    with open(os.path.join(d, "test.txt"), "w") as f:
+        f.write("\n".join(rows[550:]) + "\n")
+    return d
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(fake_data, tmp_path_factory):
+    from dglke_tpu.cli.train import main as train_main
+    save_root = str(tmp_path_factory.mktemp("ckpts"))
+    rc = train_main([
+        "--model_name", "TransE_l2", "--dataset", "fakekg",
+        "--data_path", fake_data, "--format", "raw_udd_hrt",
+        "--data_files", "train.txt", "valid.txt", "test.txt",
+        "--batch_size", "64", "--neg_sample_size", "16",
+        "--hidden_dim", "16", "--gamma", "5.0", "--lr", "0.3",
+        "--max_step", "200", "--log_interval", "100",
+        "--batch_size_eval", "8", "-adv", "--test",
+        "--save_path", save_root,
+    ])
+    assert rc == 0
+    ckpt = os.path.join(save_root, "TransE_l2_fakekg_0")
+    assert os.path.exists(os.path.join(ckpt, "config.json"))
+    assert os.path.exists(
+        os.path.join(ckpt, "fakekg_TransE_l2_entity.npy"))
+    return ckpt
+
+
+def test_train_cli(trained_ckpt):
+    pass  # fixture does the work
+
+
+def test_eval_cli(fake_data, trained_ckpt, capsys):
+    from dglke_tpu.cli.eval import main as eval_main
+    rc = eval_main([
+        "--dataset", "fakekg", "--data_path", fake_data,
+        "--format", "raw_udd_hrt",
+        "--data_files", "train.txt", "valid.txt", "test.txt",
+        "--model_path", trained_ckpt,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Test average MRR" in out
+
+
+def test_predict_cli(fake_data, trained_ckpt, tmp_path):
+    from dglke_tpu.cli.predict import main as predict_main
+    head_f = str(tmp_path / "head.list")
+    rel_f = str(tmp_path / "rel.list")
+    with open(head_f, "w") as f:
+        f.write("1\n2\n3\n")
+    with open(rel_f, "w") as f:
+        f.write("0\n1\n")
+    out_f = str(tmp_path / "result.tsv")
+    rc = predict_main([
+        "--model_path", trained_ckpt, "--format", "h_r_*",
+        "--data_files", head_f, rel_f, "--topK", "5",
+        "--output", out_f,
+    ])
+    assert rc == 0
+    lines = open(out_f).read().strip().split("\n")
+    assert lines[0] == "head\trel\ttail\tscore"
+    assert len(lines) == 6
+
+
+def test_predict_cli_raw_ids(fake_data, trained_ckpt, tmp_path):
+    from dglke_tpu.cli.predict import main as predict_main
+    head_f = str(tmp_path / "head.list")
+    with open(head_f, "w") as f:
+        f.write("e1\ne2\n")
+    out_f = str(tmp_path / "result_raw.tsv")
+    rc = predict_main([
+        "--model_path", trained_ckpt, "--format", "h_*_*",
+        "--data_files", head_f, "--raw_data",
+        "--entity_mfile", os.path.join(fake_data, "entities.tsv"),
+        "--rel_mfile", os.path.join(fake_data, "relations.tsv"),
+        "--topK", "5", "--output", out_f,
+    ])
+    assert rc == 0
+    lines = open(out_f).read().strip().split("\n")
+    assert len(lines) == 6
+    assert lines[1].split("\t")[0].startswith("e")  # raw names back
+
+
+def test_emb_sim_cli(fake_data, trained_ckpt, tmp_path):
+    from dglke_tpu.cli.emb_sim import main as emb_sim_main
+    emb_file = os.path.join(trained_ckpt, "fakekg_TransE_l2_entity.npy")
+    left_f = str(tmp_path / "left.list")
+    with open(left_f, "w") as f:
+        f.write("0\n1\n")
+    out_f = str(tmp_path / "sim.tsv")
+    rc = emb_sim_main([
+        "--emb_file", emb_file, "--format", "l_*",
+        "--data_files", left_f, "--topK", "4", "--output", out_f,
+        "--exec_mode", "batch_left",
+    ])
+    assert rc == 0
+    lines = open(out_f).read().strip().split("\n")
+    assert len(lines) == 1 + 2 * 4
+
+
+def test_partition_cli(fake_data, tmp_path):
+    from dglke_tpu.cli.partition import main as partition_main
+    rc = partition_main([
+        "--data_path", fake_data, "--dataset", "fakekg",
+        "--format", "raw_udd_hrt",
+        "--data_files", "train.txt", "valid.txt", "test.txt",
+        "-k", "2",
+    ])
+    assert rc == 0
+    pdir = os.path.join(fake_data, "fakekg", "partition_0")
+    assert os.path.exists(os.path.join(pdir, "train.txt"))
+    assert os.path.exists(os.path.join(pdir, "local_to_global.txt"))
+    assert os.path.exists(os.path.join(pdir, "partition_book.txt"))
+    assert os.path.exists(os.path.join(pdir, "relation_count.txt"))
+
+    # partition artifacts round-trip through the loader with global ids
+    from dglke_tpu.data.partition_dataset import load_partition
+    p0 = load_partition(os.path.join(fake_data, "fakekg"), 0)
+    p1 = load_partition(os.path.join(fake_data, "fakekg"), 1)
+    assert p0.n_entities == 40 and p0.n_relations == 4
+    assert len(p0.train[0]) + len(p1.train[0]) == 500
+    assert p0.train[0].max() < 40
+
+
+def test_convert_cli(tmp_path):
+    from dglke_tpu.cli.convert import main as convert_main
+    d = str(tmp_path)
+    with open(os.path.join(d, "train.txt"), "w") as f:
+        f.write("a\tlikes\tb\nb\tknows\tc\n")
+    rc = convert_main(["--data_path", d, "--data_files", "train.txt"])
+    assert rc == 0
+    out = open(os.path.join(d, "train_id.tsv")).read().strip().split("\n")
+    assert out[0] == "0\t0\t1"

@@ -1,0 +1,142 @@
+"""Dataset loader tests (mirrors the reference's test_dataset.py edge
+cases: udd/raw_udd parsing, delimiters, field-order permutations,
+non-integer errors, id-range asserts)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dglke_tpu.data.dataset import (
+    get_dataset,
+    load_raw_udd,
+    load_udd,
+    synthetic_dataset,
+)
+
+
+def write(path, lines):
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture
+def udd_dir(tmp_path):
+    d = str(tmp_path)
+    write(os.path.join(d, "entities.tsv"), [f"{i}\te{i}" for i in range(6)])
+    write(os.path.join(d, "relations.tsv"), [f"{i}\tr{i}" for i in range(2)])
+    write(os.path.join(d, "train.tsv"),
+          ["0\t0\t1", "1\t1\t2", "2\t0\t3", "3\t1\t4", "4\t0\t5"])
+    write(os.path.join(d, "valid.tsv"), ["0\t1\t2"])
+    write(os.path.join(d, "test.tsv"), ["1\t0\t3"])
+    return d
+
+
+def test_udd_loading(udd_dir):
+    ds = get_dataset(udd_dir, "mykg", "udd_hrt", "\t",
+                     ["entities.tsv", "relations.tsv", "train.tsv",
+                      "valid.tsv", "test.tsv"])
+    assert ds.n_entities == 6 and ds.n_relations == 2
+    assert len(ds.train[0]) == 5
+    np.testing.assert_array_equal(ds.train[0], [0, 1, 2, 3, 4])
+    np.testing.assert_array_equal(ds.train[1], [0, 1, 0, 1, 0])
+    assert ds.valid is not None and ds.test is not None
+
+
+def test_udd_htr_permutation(tmp_path):
+    d = str(tmp_path)
+    write(os.path.join(d, "e.tsv"), [f"{i}\te{i}" for i in range(4)])
+    write(os.path.join(d, "r.tsv"), ["0\tr0"])
+    # columns: head, tail, rel
+    write(os.path.join(d, "train.tsv"), ["0\t1\t0", "2\t3\t0"])
+    ds = load_udd(d, "kg", "\t", ["e.tsv", "r.tsv", "train.tsv"], "htr")
+    np.testing.assert_array_equal(ds.train[0], [0, 2])  # heads
+    np.testing.assert_array_equal(ds.train[1], [0, 0])  # rels
+    np.testing.assert_array_equal(ds.train[2], [1, 3])  # tails
+
+
+def test_udd_non_integer_raises(tmp_path):
+    d = str(tmp_path)
+    write(os.path.join(d, "e.tsv"), ["0\ta", "1\tb"])
+    write(os.path.join(d, "r.tsv"), ["0\tr"])
+    write(os.path.join(d, "train.tsv"), ["a\tr\tb"])
+    with pytest.raises(ValueError):
+        load_udd(d, "kg", "\t", ["e.tsv", "r.tsv", "train.tsv"], "hrt")
+
+
+def test_udd_out_of_range_raises(tmp_path):
+    d = str(tmp_path)
+    write(os.path.join(d, "e.tsv"), ["0\ta", "1\tb"])
+    write(os.path.join(d, "r.tsv"), ["0\tr"])
+    write(os.path.join(d, "train.tsv"), ["0\t0\t7"])
+    with pytest.raises(AssertionError):
+        load_udd(d, "kg", "\t", ["e.tsv", "r.tsv", "train.tsv"], "hrt")
+
+
+@pytest.mark.parametrize("delim", ["\t", "|", ";", ","])
+def test_raw_udd_delimiters(tmp_path, delim):
+    d = str(tmp_path)
+    rows = [delim.join(x) for x in
+            [("a", "likes", "b"), ("b", "likes", "c"), ("c", "knows", "a")]]
+    write(os.path.join(d, "train.txt"), rows)
+    ds = load_raw_udd(d, "kg", delim, ["train.txt"], "hrt")
+    assert ds.n_entities == 3 and ds.n_relations == 2
+    # id maps written for downstream tools
+    assert os.path.exists(os.path.join(d, "entities.tsv"))
+    assert os.path.exists(os.path.join(d, "relations.tsv"))
+    # first-appearance ordering
+    assert ds.entity2id["a"] == 0 and ds.relation2id["likes"] == 0
+
+
+def test_raw_udd_three_files(tmp_path):
+    d = str(tmp_path)
+    write(os.path.join(d, "train.txt"), ["a\tr1\tb", "b\tr1\tc"])
+    write(os.path.join(d, "valid.txt"), ["a\tr1\tc"])
+    write(os.path.join(d, "test.txt"), ["c\tr1\ta"])
+    ds = load_raw_udd(d, "kg", "\t", ["train.txt", "valid.txt", "test.txt"],
+                      "hrt")
+    assert ds.valid is not None and len(ds.valid[0]) == 1
+    assert ds.test is not None
+
+
+def test_edge_importance_column(tmp_path):
+    d = str(tmp_path)
+    write(os.path.join(d, "e.tsv"), ["0\ta", "1\tb"])
+    write(os.path.join(d, "r.tsv"), ["0\tr"])
+    write(os.path.join(d, "train.tsv"), ["0\t0\t1\t2.5", "1\t0\t0\t0.5"])
+    ds = load_udd(d, "kg", "\t", ["e.tsv", "r.tsv", "train.tsv"], "hrt",
+                  has_edge_importance=True)
+    assert ds.has_edge_importance
+    np.testing.assert_allclose(ds.train[3], [2.5, 0.5])
+
+
+def test_builtin_layout(tmp_path):
+    d = str(tmp_path / "FB15k")
+    os.makedirs(d)
+    write(os.path.join(d, "entities.dict"), ["0\t/m/a", "1\t/m/b",
+                                             "2\t/m/c"])
+    write(os.path.join(d, "relations.dict"), ["0\t/loc"])
+    write(os.path.join(d, "train.txt"), ["/m/a\t/loc\t/m/b"])
+    write(os.path.join(d, "valid.txt"), ["/m/b\t/loc\t/m/c"])
+    write(os.path.join(d, "test.txt"), ["/m/c\t/loc\t/m/a"])
+    ds = get_dataset(str(tmp_path), "FB15k", "built_in")
+    assert ds.n_entities == 3
+    np.testing.assert_array_equal(ds.train[0], [0])
+
+
+def test_freebase_layout(tmp_path):
+    d = str(tmp_path / "Freebase")
+    os.makedirs(d)
+    write(os.path.join(d, "entity2id.txt"), ["3"])
+    write(os.path.join(d, "relation2id.txt"), ["2"])
+    # columns h, t, r
+    write(os.path.join(d, "train.txt"), ["0\t1\t0", "1\t2\t1"])
+    ds = get_dataset(str(tmp_path), "Freebase", "built_in")
+    assert ds.n_entities == 3 and ds.n_relations == 2
+    np.testing.assert_array_equal(ds.train[1], [0, 1])  # rel from col 2
+    np.testing.assert_array_equal(ds.train[2], [1, 2])  # tail from col 1
+
+
+def test_synthetic():
+    ds = synthetic_dataset(100, 4, 500, 50, 50)
+    assert ds.train[0].max() < 100 and ds.train[1].max() < 4
