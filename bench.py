@@ -30,29 +30,34 @@ def main():
     cfg = KGEConfig(model_name="TransE_l2", hidden_dim=400, gamma=19.9,
                     lr=0.25, batch_size=1000, neg_sample_size=200,
                     neg_adversarial_sampling=True, regularization_coef=1e-9)
+    from dglke_tpu.data.sampler import SuperbatchSampler
+
     ds = synthetic_dataset(n_entities=n_entities, n_relations=n_relations,
                            n_train=400_000, seed=0)
     model = KEModel(cfg, n_entities, n_relations)
     state = model.init_state(jax.random.PRNGKey(0))
     sampler = TrainSampler(ds, cfg.batch_size, cfg.neg_sample_size, seed=0)
-    step_fn = model.make_train_step()
+    from dglke_tpu.trainer import Prefetcher
 
-    def run(n_steps):
+    s = cfg.steps_per_call
+    feeder = Prefetcher(SuperbatchSampler(sampler, s), lambda b: b,
+                        depth=4, stage_in_worker=False)
+    step_fn = model.make_train_superstep(cfg.batch_size, s)
+
+    def run(n_calls):
         nonlocal state
-        for _ in range(n_steps):
-            b = next(sampler)
-            state, log = step_fn(state, b["h"], b["r"], b["t"], b["neg"],
-                                 None, b["neg_head"])
+        for _ in range(n_calls):
+            b = next(feeder)
+            state, log = step_fn(state, b["packed"], b["impts"])
         jax.block_until_ready(state.entity.emb)
         return log
 
-    # warmup: compile both head/tail specializations
-    run(4)
-    n_steps = 200
+    run(2)  # warmup/compile
+    n_calls = 40
     t0 = time.time()
-    run(n_steps)
+    run(n_calls)
     dt = time.time() - t0
-    triples_per_s = n_steps * cfg.batch_size / dt
+    triples_per_s = n_calls * s * cfg.batch_size / dt
 
     print(json.dumps({
         "metric": "fb15k_transe_l2_train_throughput",

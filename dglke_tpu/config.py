@@ -96,6 +96,9 @@ class KGEConfig:
     # -- compute --------------------------------------------------------------
     # bfloat16 scoring keeps matmuls on the MXU fast path; tables stay fp32.
     compute_dtype: str = "float32"
+    # Steps fused into one device call (lax.scan) to amortize host->device
+    # transfer latency + dispatch; must be even (head/tail alternation).
+    steps_per_call: int = 16
 
     # ------------------------------------------------------------------------
     @property

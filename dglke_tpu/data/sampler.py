@@ -204,6 +204,51 @@ class TrainSampler:
         return batch
 
 
+class SuperbatchSampler:
+    """Stacks `steps_per_call` consecutive TrainSampler batches into one
+    packed [S, 3B + C*K] int32 array (+ [S, B] impts) for the multi-step
+    scan kernel.  Row parity encodes corruption side: even rows head-corrupt,
+    odd rows tail-corrupt (TrainSampler's alternation).
+
+    Vectorized: draws all S batches' positives and negatives with single
+    numpy calls — the host must keep up with a sub-100us device step."""
+
+    def __init__(self, sampler: "TrainSampler", steps_per_call: int):
+        assert steps_per_call % 2 == 0
+        assert sampler._neg_head, "sampler must start on a head-corrupt batch"
+        self.sampler = sampler
+        self.s = steps_per_call
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        sp = self.sampler
+        s, b = self.s, sp.batch_size
+        need = s * b
+        chunks = []
+        while need > 0:
+            if sp._perm is None or sp._pos >= len(sp._perm):
+                sp._refill()
+                while len(sp._perm) < b:
+                    sp._perm = np.concatenate(
+                        [sp._perm, sp.rng.permutation(sp.n_edges)])
+            take = min(need, len(sp._perm) - sp._pos)
+            chunks.append(sp._perm[sp._pos:sp._pos + take])
+            sp._pos += take
+            need -= take
+        idx = np.concatenate(chunks).reshape(s, b)
+        neg = sp.rng.randint(
+            0, sp.n_entities,
+            (s, sp.num_chunks * sp.neg_sample_size)).astype(np.int32)
+        packed = np.concatenate(
+            [sp.h[idx], sp.r[idx], sp.t[idx], neg], axis=1).astype(np.int32)
+        out = {"packed": packed, "n_steps": s, "impts": None}
+        if sp.impts is not None:
+            out["impts"] = sp.impts[idx]
+        return out
+
+
 # ---------------------------------------------------------------------------
 # Evaluation: filter index + samplers
 

@@ -81,16 +81,29 @@ class Prefetcher:
 
 
 def _put_batch(plan: Optional[ShardingPlan]):
+    """Single-device: pack all id arrays into ONE int32 transfer (per-array
+    device_put overhead would otherwise dominate the sub-100us step).
+    Multi-device: per-array dp-sharded puts so segment boundaries align with
+    device shards."""
+
     def put(batch):
-        arrs = {k: v for k, v in batch.items()
-                if isinstance(v, np.ndarray)}
-        if plan is None:
-            dev = {k: jax.device_put(v) for k, v in arrs.items()}
-        else:
-            dev = plan.put_batch(arrs)
         out = dict(batch)
-        out.update(dev)
+        if plan is None:
+            if "packed" in batch:  # superbatch: already stacked
+                packed = batch["packed"]
+            else:
+                packed = np.concatenate(
+                    [batch["h"], batch["r"], batch["t"],
+                     batch["neg"]]).astype(np.int32)
+            out["packed"] = jax.device_put(packed)
+            if batch.get("impts") is not None:
+                out["impts"] = jax.device_put(batch["impts"])
+        else:
+            arrs = {k: v for k, v in batch.items()
+                    if isinstance(v, np.ndarray)}
+            out.update(plan.put_batch(arrs))
         return out
+
     return put
 
 
@@ -110,30 +123,64 @@ def train(config: KGEConfig, dataset: KGDataset,
 
     sampler = TrainSampler(dataset, cfg.batch_size, cfg.neg_sample_size,
                            seed=cfg.seed)
-    prefetch = Prefetcher(sampler, _put_batch(plan))
-    step_fn = model.make_train_step()
+    packed_mode = plan is None
+    # In packed (single-transfer) mode, fuse steps_per_call steps into one
+    # scanned device call; align the fusion with logging/eval cadence.
+    s = cfg.steps_per_call if packed_mode else 1
+    if s > 1:
+        for interval in (cfg.log_interval,
+                         cfg.eval_interval if cfg.valid else None,
+                         cfg.max_step):
+            if interval:
+                while s > 2 and interval % s != 0:
+                    s -= 2
+        if cfg.max_step % s != 0 or (s & 1):
+            s = 2 if cfg.max_step % 2 == 0 else 1
+    if packed_mode and s > 1:
+        from dglke_tpu.data.sampler import SuperbatchSampler
+        feeder = SuperbatchSampler(sampler, s)
+        step_fn = model.make_train_superstep(cfg.batch_size, s)
+    elif packed_mode:
+        feeder = sampler
+        step_fn = model.make_train_step_packed(cfg.batch_size)
+    else:
+        feeder = sampler
+        step_fn = model.make_train_step()
+    prefetch = Prefetcher(feeder, _put_batch(plan))
 
     logs: list = []
     start = time.time()
     sample_time = update_time = 0.0
     tic = time.time()
-    for step in range(cfg.max_step):
+    step = 0
+    while step < cfg.max_step:
         t0 = time.time()
         batch = next(prefetch)
         sample_time += time.time() - t0
 
         t0 = time.time()
-        state, log_dict = step_fn(state, batch["h"], batch["r"], batch["t"],
-                                  batch["neg"], batch.get("impts"),
-                                  batch["neg_head"])
+        if packed_mode and s > 1:
+            state, log_dict = step_fn(state, batch["packed"],
+                                      batch.get("impts"))
+            step += batch["n_steps"]
+        elif packed_mode:
+            state, log_dict = step_fn(state, batch["packed"],
+                                      batch.get("impts"),
+                                      batch["neg_head"])
+            step += 1
+        else:
+            state, log_dict = step_fn(state, batch["h"], batch["r"],
+                                      batch["t"], batch["neg"],
+                                      batch.get("impts"), batch["neg_head"])
+            step += 1
         update_time += time.time() - t0
         logs.append(log_dict)
 
-        if (step + 1) % cfg.log_interval == 0:
+        if step % cfg.log_interval == 0:
             host_logs = jax.device_get(logs)
             for k in host_logs[0]:
                 v = float(np.mean([l[k] for l in host_logs]))
-                log(f"[proc 0][Train]({step + 1}/{cfg.max_step}) "
+                log(f"[proc 0][Train]({step}/{cfg.max_step}) "
                     f"average {k}: {v}")
             logs = []
             log(f"[proc 0][Train] {cfg.log_interval} steps take "
@@ -144,7 +191,7 @@ def train(config: KGEConfig, dataset: KGDataset,
             tic = time.time()
 
         if (cfg.valid and valid_samplers is not None
-                and (step + 1) % cfg.eval_interval == 0):
+                and step % cfg.eval_interval == 0):
             vm = evaluate_with_samplers(model, state, valid_samplers,
                                         phase="Valid", log=log)
     total = time.time() - start
