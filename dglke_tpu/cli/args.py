@@ -77,6 +77,13 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                    help="directory containing partition_<rank>/ artifacts "
                         "from dglke_tpu-partition (defaults to "
                         "data_path/dataset)")
+    p.add_argument("--init_from", type=str, default=None,
+                   help="resume training from a saved checkpoint directory "
+                        "(tables + Adagrad state + step; the reference "
+                        "cannot resume — train_pytorch.py:101-102)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="capture a jax.profiler trace of steady-state steps "
+                        "into this directory")
 
 
 def config_from_args(args: argparse.Namespace) -> KGEConfig:

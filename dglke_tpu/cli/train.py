@@ -69,6 +69,14 @@ def main(argv=None):
               f"(tables: {args.table_sharding})")
 
     model = KEModel(cfg, dataset.n_entities, dataset.n_relations)
+    state = None
+    if args.init_from:
+        from dglke_tpu.utils.io import load_model_state
+        state = load_model_state(cfg, model, args.init_from)
+        if plan is not None:
+            state = plan.put_state(state)
+        print(f"Resumed from {args.init_from} at step "
+              f"{int(state.step)}")
     print(f"Init takes {time.time() - init_start:.3f} seconds")
 
     filter_index = FilterIndex(dataset) if cfg.eval_filter else None
@@ -82,8 +90,9 @@ def main(argv=None):
         ]
     cfg = dataclasses.replace(cfg, valid=args.valid)
 
-    model, state, info = train(cfg, dataset, model=model, plan=plan,
-                               valid_samplers=valid_samplers)
+    model, state, info = train(cfg, dataset, model=model, state=state,
+                               plan=plan, valid_samplers=valid_samplers,
+                               profile_dir=args.profile)
 
     if not cfg.no_save_emb:
         save_model(cfg, model, state, emap_file=dataset.emap_fname,

@@ -356,6 +356,32 @@ class KEModel:
         filt_ge = jnp.sum((fs >= pos[:, None]) & (filter_mask > 0), axis=1)
         return jnp.maximum(total_ge - filt_ge, 0) + 1
 
+    def candidate_scores(self, state: TrainState, h, r, cand_ids, *,
+                         neg_head: bool = False):
+        """Scores of each row's candidate list: [B, K]
+        (reference predict_score_wikikg, general_models.py:521-531)."""
+        sf = self.score_fn
+        b = h.shape[0]
+        k = cand_ids.shape[1]
+        h_rows = gather_rows(state.entity, h)
+        rel_rows = gather_rows(state.relation, r)
+        cand = state.entity.emb[cand_ids.reshape(-1)]
+        s = sf.neg_score(h_rows, rel_rows, cand, neg_head=neg_head,
+                         num_chunks=b, chunk_size=1, neg_sample_size=k)
+        return s.reshape(b, k)
+
+    def make_candidate_eval_step(self, top: int = 10):
+        """Returns jitted fn(state, query [B,2], cand [B,K]) ->
+        (ranks-of-each-candidate-position [B,K] argsort desc, scores)."""
+
+        def step(state, query, cand):
+            scores = self.candidate_scores(state, query[:, 0], query[:, 1],
+                                           cand, neg_head=False)
+            top_idx = jnp.argsort(-scores, axis=1)[:, :top]
+            return scores, top_idx
+
+        return jax.jit(step)
+
     def eval_ranks_sampled(self, state: TrainState, h, r, t, cand_ids, *,
                            neg_head: bool):
         """Unfiltered rank against a candidate list [B, K]

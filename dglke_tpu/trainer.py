@@ -12,6 +12,7 @@ every log_interval, plus per-phase timers) so existing tooling can parse it.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -112,8 +113,13 @@ def train(config: KGEConfig, dataset: KGDataset,
           state: Optional[TrainState] = None,
           plan: Optional[ShardingPlan] = None,
           valid_samplers: Optional[list] = None,
+          profile_dir: Optional[str] = None,
           log=print) -> tuple:
-    """Run the training loop; returns (model, state, time_info)."""
+    """Run the training loop; returns (model, state, time_info).
+
+    profile_dir: when set, captures a jax.profiler device trace of a few
+    steady-state steps (viewable in XProf/TensorBoard) — the TPU analogue of
+    the reference's MXNET_PROFILER hook (train_mxnet.py:31-34)."""
     cfg = config
     model = model or KEModel(cfg, dataset.n_entities, dataset.n_relations)
     if state is None:
@@ -153,7 +159,11 @@ def train(config: KGEConfig, dataset: KGDataset,
     sample_time = update_time = 0.0
     tic = time.time()
     step = 0
+    profiling = False
     while step < cfg.max_step:
+        if profile_dir is not None and not profiling and step >= 2 * s:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         t0 = time.time()
         batch = next(prefetch)
         sample_time += time.time() - t0
@@ -190,10 +200,19 @@ def train(config: KGEConfig, dataset: KGDataset,
             sample_time = update_time = 0.0
             tic = time.time()
 
+        if profiling and step >= 4 * s:
+            jax.block_until_ready(state.entity.emb)
+            jax.profiler.stop_trace()
+            profiling = False
+            profile_dir = None
+            log(f"[proc 0]profiler trace written")
+
         if (cfg.valid and valid_samplers is not None
                 and step % cfg.eval_interval == 0):
             vm = evaluate_with_samplers(model, state, valid_samplers,
                                         phase="Valid", log=log)
+    if profiling:
+        jax.profiler.stop_trace()
     total = time.time() - start
     log(f"[proc 0]training takes {total} seconds")
     prefetch.close()
@@ -219,6 +238,63 @@ def evaluate(config: KGEConfig, dataset: KGDataset, model: KEModel,
     ]
     return evaluate_with_samplers(model, state, samplers, phase=phase,
                                   log=log)
+
+
+class CandidateEvalSampler:
+    """Batches of (query [B,2], answer-index [B], candidates [B,K]) for
+    candidate-list evaluation (reference WikiEvalSampler, sampler.py:599-648;
+    wikikg90M's 'h,r->t' task with 1001 candidates)."""
+
+    def __init__(self, edges: dict, batch_size: int):
+        d = edges["h,r->t"]
+        self.hr = np.asarray(d["hr"], np.int32)
+        self.ans = (np.asarray(d["t_correct_index"], np.int32)
+                    if "t_correct_index" in d else None)
+        self.cand = np.asarray(d["t_candidate"], np.int32)
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        b = self.batch_size
+        for beg in range(0, len(self.hr), b):
+            yield (self.hr[beg:beg + b],
+                   self.ans[beg:beg + b] if self.ans is not None else None,
+                   self.cand[beg:beg + b])
+
+
+def evaluate_candidates(model: KEModel, state: TrainState,
+                        sampler: CandidateEvalSampler, mode: str = "Valid",
+                        save_path: Optional[str] = None, rank: int = 0,
+                        log=print) -> Optional[Dict[str, float]]:
+    """Candidate-list eval: Valid mode computes MRR/MR/Hits@k from the true
+    answer's rank among its candidates; Test mode writes test_{rank}.pkl with
+    top-10 predictions (reference train_pytorch.py:208-234)."""
+    import pickle
+
+    eval_fn = model.make_candidate_eval_step()
+    all_ranks, all_top10, all_ans = [], [], []
+    for query, ans, cand in sampler:
+        scores, top10 = eval_fn(state, query, cand)
+        scores = np.asarray(scores)
+        if mode == "Valid":
+            pos = scores[np.arange(len(query)), ans]
+            ranks = (scores >= pos[:, None]).sum(axis=1)
+            all_ranks.append(ranks)
+        else:
+            all_top10.append(np.asarray(top10))
+            if ans is not None:
+                all_ans.append(ans)
+    if mode == "Valid":
+        metrics = metrics_from_ranks(np.concatenate(all_ranks))
+        for k, v in metrics.items():
+            log(f"[{rank}]{mode} average {k}: {v}")
+        return metrics
+    out = {"h,r->t": {"t_pred_top10": np.concatenate(all_top10)}}
+    if all_ans:
+        out["h,r->t"]["t_correct_index"] = np.concatenate(all_ans)
+    if save_path:
+        with open(os.path.join(save_path, f"test_{rank}.pkl"), "wb") as f:
+            pickle.dump(out, f)
+    return None
 
 
 def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,

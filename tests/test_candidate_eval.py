@@ -1,0 +1,65 @@
+"""Candidate-list evaluation tests (wikikg90M-style 'h,r->t' protocol)."""
+
+import os
+import pickle
+
+import numpy as np
+
+import jax
+
+from dglke_tpu.config import KGEConfig
+from dglke_tpu.models.ke_model import KEModel
+from dglke_tpu.trainer import CandidateEvalSampler, evaluate_candidates
+
+
+def _setup():
+    cfg = KGEConfig(model_name="TransE_l2", hidden_dim=8, gamma=4.0)
+    model = KEModel(cfg, 50, 5)
+    state = model.init_state(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(0)
+    n, k = 23, 12
+    hr = rng.randint(0, 50, (n, 2)).astype(np.int64)
+    hr[:, 1] = rng.randint(0, 5, n)
+    cand = rng.randint(0, 50, (n, k)).astype(np.int64)
+    ans = rng.randint(0, k, n).astype(np.int64)
+    edges = {"h,r->t": {"hr": hr, "t_correct_index": ans,
+                        "t_candidate": cand}}
+    return cfg, model, state, edges
+
+
+def test_candidate_valid_metrics():
+    cfg, model, state, edges = _setup()
+    sampler = CandidateEvalSampler(edges, batch_size=8)
+    logs = []
+    metrics = evaluate_candidates(model, state, sampler, mode="Valid",
+                                  log=logs.append)
+    assert 0 < metrics["MRR"] <= 1.0
+    assert metrics["MR"] >= 1.0
+
+    # cross-check one batch against numpy scoring
+    hr = edges["h,r->t"]["hr"]
+    cand = edges["h,r->t"]["t_candidate"]
+    ans = edges["h,r->t"]["t_correct_index"]
+    ent = np.asarray(state.entity.emb)
+    rel = np.asarray(state.relation.emb)
+    scores = np.array([[cfg.gamma - np.linalg.norm(
+        ent[hr[i, 0]] + rel[hr[i, 1]] - ent[cand[i, j]])
+        for j in range(cand.shape[1])] for i in range(len(hr))])
+    pos = scores[np.arange(len(hr)), ans]
+    ranks = (scores >= pos[:, None] - 1e-5).sum(axis=1)
+    want_mr_low = (scores >= pos[:, None] + 1e-5).sum(axis=1).mean()
+    assert want_mr_low <= metrics["MR"] <= ranks.mean() + 1e-6
+
+
+def test_candidate_test_pkl(tmp_path):
+    cfg, model, state, edges = _setup()
+    sampler = CandidateEvalSampler(edges, batch_size=8)
+    out = evaluate_candidates(model, state, sampler, mode="Test",
+                              save_path=str(tmp_path), rank=3,
+                              log=lambda *a: None)
+    assert out is None
+    with open(os.path.join(str(tmp_path), "test_3.pkl"), "rb") as f:
+        d = pickle.load(f)
+    top10 = d["h,r->t"]["t_pred_top10"]
+    assert top10.shape == (23, 10)
+    assert (top10 < 12).all()

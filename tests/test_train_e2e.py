@@ -95,6 +95,25 @@ def test_multi_device_spmd(tiny_ds, table_sharding):
     assert metrics["MRR"] > 0.15, metrics
 
 
+def test_resume_training(tiny_ds, tmp_path):
+    """Resume from a checkpoint continues with tables + Adagrad state +
+    step — a capability the reference lacks (train_pytorch.py:101-102)."""
+    from dglke_tpu.utils.io import load_model_state, save_model
+
+    cfg = small_config(max_step=40, save_path=str(tmp_path / "ck"))
+    model, state, _ = train(cfg, tiny_ds, log=lambda *a: None)
+    path = save_model(cfg, model, state)
+    model2 = KEModel(cfg, tiny_ds.n_entities, tiny_ds.n_relations)
+    state2 = load_model_state(cfg, model2, path)
+    assert int(state2.step) == 40
+    # continue training; quality should not collapse
+    model2, state3, _ = train(cfg, tiny_ds, model=model2, state=state2,
+                              log=lambda *a: None)
+    assert int(state3.step) == 80
+    m = evaluate(cfg, tiny_ds, model2, state3, "test", log=lambda *a: None)
+    assert m["MRR"] > 0.1
+
+
 def test_deterministic_seed(tiny_ds):
     cfg = small_config(max_step=30)
     _, s1, m1, _ = _run(cfg, tiny_ds)
