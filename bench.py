@@ -29,7 +29,8 @@ def main():
     n_entities, n_relations = 14951, 1345
     cfg = KGEConfig(model_name="TransE_l2", hidden_dim=400, gamma=19.9,
                     lr=0.25, batch_size=1000, neg_sample_size=200,
-                    neg_adversarial_sampling=True, regularization_coef=1e-9)
+                    neg_adversarial_sampling=True, regularization_coef=1e-9,
+                    steps_per_call=256)
     from dglke_tpu.data.sampler import SuperbatchSampler
 
     ds = synthetic_dataset(n_entities=n_entities, n_relations=n_relations,
@@ -40,8 +41,16 @@ def main():
     from dglke_tpu.trainer import Prefetcher
 
     s = cfg.steps_per_call
-    feeder = Prefetcher(SuperbatchSampler(sampler, s), lambda b: b,
-                        depth=4, stage_in_worker=False)
+    try:
+        from dglke_tpu.data import native
+        src = native.NativeSuperbatchSampler(
+            sampler.h, sampler.r, sampler.t, sampler.n_entities,
+            cfg.batch_size, sampler.num_chunks * sampler.neg_sample_size,
+            s, seed=0) if native.available() else SuperbatchSampler(
+                sampler, s)
+    except Exception:
+        src = SuperbatchSampler(sampler, s)
+    feeder = Prefetcher(src, lambda b: b, depth=4, stage_in_worker=False)
     step_fn = model.make_train_superstep(cfg.batch_size, s)
 
     def run(n_calls):
@@ -53,7 +62,9 @@ def main():
         return log
 
     run(2)  # warmup/compile
-    n_calls = 40
+    # long enough that the prefetch queue's head start cannot flatter the
+    # steady-state rate
+    n_calls = 60
     t0 = time.time()
     run(n_calls)
     dt = time.time() - t0

@@ -148,6 +148,11 @@ class KEModel:
         chunk_size = b // num_chunks
         neg_sample_size = neg.shape[0] // num_chunks
 
+        # bfloat16 scoring (optional): gathered rows are cast before the
+        # score kernels so matmuls take the fast MXU path; the loss, softmax
+        # and gradients accumulate in fp32 (preferred_element_type) and the
+        # Adagrad update stays fp32.
+        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         h_rows = gather_rows(state.entity, h)
         t_rows = gather_rows(state.entity, t)
         rel_rows = gather_rows(state.relation, r)
@@ -156,11 +161,21 @@ class KEModel:
                      if self.is_transr else None)
 
         def loss_fn(h_rows, t_rows, rel_rows, neg_rows, proj_rows):
+            if cdtype is not None:
+                sh, st_, sr, sn = (x.astype(cdtype) for x in
+                                   (h_rows, t_rows, rel_rows, neg_rows))
+                sp = (proj_rows.astype(cdtype)
+                      if proj_rows is not None else None)
+            else:
+                sh, st_, sr, sn, sp = (h_rows, t_rows, rel_rows, neg_rows,
+                                       proj_rows)
             pos, negs, _ = self._pos_neg_scores(
-                (h_rows, t_rows), rel_rows, neg_rows, proj_rows,
+                (sh, st_), sr, sn, sp,
                 neg_head=neg_head, num_chunks=num_chunks,
                 chunk_size=chunk_size, neg_sample_size=neg_sample_size,
                 neg_deg_sample=cfg.neg_deg_sample)
+            pos = pos.astype(jnp.float32)
+            negs = negs.astype(jnp.float32)
             loss, log = self.loss_gen.get_total_loss(pos, negs, impts)
             if cfg.regularization_coef > 0.0 and cfg.regularization_norm > 0:
                 reg_rows = [h_rows, t_rows, neg_rows, rel_rows]

@@ -143,8 +143,21 @@ def train(config: KGEConfig, dataset: KGDataset,
         if cfg.max_step % s != 0 or (s & 1):
             s = 2 if cfg.max_step % 2 == 0 else 1
     if packed_mode and s > 1:
-        from dglke_tpu.data.sampler import SuperbatchSampler
-        feeder = SuperbatchSampler(sampler, s)
+        feeder = None
+        try:
+            from dglke_tpu.data import native
+            if (native.available()
+                    and not dataset.has_edge_importance):
+                feeder = native.NativeSuperbatchSampler(
+                    sampler.h, sampler.r, sampler.t, sampler.n_entities,
+                    cfg.batch_size,
+                    sampler.num_chunks * sampler.neg_sample_size, s,
+                    seed=cfg.seed)
+        except Exception:
+            feeder = None
+        if feeder is None:
+            from dglke_tpu.data.sampler import SuperbatchSampler
+            feeder = SuperbatchSampler(sampler, s)
         step_fn = model.make_train_superstep(cfg.batch_size, s)
     elif packed_mode:
         feeder = sampler
