@@ -287,6 +287,62 @@ class KEModel:
 
         return jax.jit(superstep, donate_argnums=(0,) if donate else ())
 
+    def make_device_pipeline_step(self, n_edges: int, batch_size: int,
+                                  neg_total: int, steps_per_call: int,
+                                  donate: bool = True):
+        """Fully device-resident pipeline: the training triples live in HBM
+        and each call samples its own batches on device — no host work or
+        host->device transfer in the hot loop at all.
+
+        Arguments of the returned fn (built for minimum host round-trips —
+        on a tunneled chip every dependent device call costs a full RTT, so
+        the ONLY per-call device work is this one fused call):
+          state, triples ([3, E] int32, device-resident), perm ([E] int32
+          epoch permutation, device-resident), pos/epoch/call_idx (int32
+          scalars; tiny argument upload), base_key.
+        When the static flag refresh_perm is True the call first regenerates
+        the epoch permutation ON DEVICE from fold_in(base_key, epoch) and
+        returns it; negatives derive from fold_in(base_key, call_idx).
+        Shuffled epochs without replacement — the reference sampler's exact
+        semantics — with corruption sides alternating per step.
+        Returns ((state, perm), logs).
+        """
+        assert steps_per_call % 2 == 0
+        b = batch_size
+        s = steps_per_call
+
+        def call(state, triples, perm, pos, epoch, call_idx, base_key,
+                 refresh_perm):
+            if refresh_perm:
+                ekey = jax.random.fold_in(base_key, epoch)
+                perm = jax.random.permutation(ekey, n_edges).astype(
+                    jnp.int32)
+            key = jax.random.fold_in(base_key, call_idx)
+            idx = jax.lax.dynamic_slice(perm, (pos,), (s * b,))
+            idx = idx.reshape(s // 2, 2, b)
+            keys = jax.random.split(key, (s // 2, 2))
+
+            def one(st, row_idx, k, neg_head):
+                h = triples[0, row_idx]
+                r = triples[1, row_idx]
+                t = triples[2, row_idx]
+                neg = jax.random.randint(k, (neg_total,), 0,
+                                         self.n_entities, dtype=jnp.int32)
+                return self.train_step(st, h, r, t, neg, None,
+                                       neg_head=neg_head)
+
+            def body(st, xs):
+                row_pair, key_pair = xs
+                st, log1 = one(st, row_pair[0], key_pair[0], True)
+                st, log2 = one(st, row_pair[1], key_pair[1], False)
+                return st, {k: (log1[k] + log2[k]) / 2.0 for k in log1}
+
+            state, logs = jax.lax.scan(body, state, (idx, keys))
+            return (state, perm), {k: jnp.mean(v) for k, v in logs.items()}
+
+        return jax.jit(call, static_argnames=("refresh_perm",),
+                       donate_argnums=(0, 2) if donate else ())
+
     # -- evaluation ----------------------------------------------------------
 
     def eval_ranks(self, state: TrainState, h, r, t, filter_ids, filter_mask,

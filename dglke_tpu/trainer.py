@@ -253,6 +253,53 @@ def evaluate(config: KGEConfig, dataset: KGDataset, model: KEModel,
                                   log=log)
 
 
+class DevicePipeline:
+    """Fully device-resident training feed: triples + epoch permutation live
+    in HBM; each call samples on device (see make_device_pipeline_step).
+    The host only tracks an integer offset and refreshes the permutation
+    (computed ON DEVICE) between epochs."""
+
+    def __init__(self, model: KEModel, dataset, batch_size: int,
+                 neg_total: int, steps_per_call: int, seed: int = 0):
+        h, r, t = dataset.train[0], dataset.train[1], dataset.train[2]
+        self.triples = jax.device_put(
+            np.stack([h, r, t]).astype(np.int32))
+        self.n_edges = len(h)
+        self.b = batch_size
+        self.s = steps_per_call
+        assert self.n_edges >= self.s * self.b, (
+            "device pipeline needs n_edges >= steps_per_call * batch_size; "
+            "lower steps_per_call for tiny datasets")
+        self.step_fn = model.make_device_pipeline_step(
+            self.n_edges, batch_size, neg_total, steps_per_call)
+        # rbg keys use the TPU's hardware RngBitGenerator: orders of
+        # magnitude cheaper per scan iteration than threefry for the
+        # per-step negative draws.
+        try:
+            self.base_key = jax.device_put(jax.random.key(seed, impl="rbg"))
+        except Exception:
+            self.base_key = jax.device_put(jax.random.PRNGKey(seed))
+        # placeholder perm buffer; the first call regenerates it on device
+        self.perm = jax.device_put(np.arange(self.n_edges, dtype=np.int32))
+        self.pos = self.n_edges  # force refresh on first call
+        self.epoch = -1
+        self.call_idx = 0
+
+    def run_call(self, state):
+        refresh = self.pos + self.s * self.b > self.n_edges
+        if refresh:
+            self.epoch += 1
+            self.pos = 0
+        (state, self.perm), logs = self.step_fn(
+            state, self.triples, self.perm,
+            np.int32(self.pos), np.int32(self.epoch),
+            np.int32(self.call_idx), self.base_key,
+            refresh_perm=refresh)
+        self.pos += self.s * self.b
+        self.call_idx += 1
+        return state, logs
+
+
 class CandidateEvalSampler:
     """Batches of (query [B,2], answer-index [B], candidates [B,K]) for
     candidate-list evaluation (reference WikiEvalSampler, sampler.py:599-648;
