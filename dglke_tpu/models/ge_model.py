@@ -414,12 +414,24 @@ class BasicGEModel:
 
 
 def _load_npy(path: str, *names: str) -> np.ndarray:
+    """Load the first existing name; fall back to a unique
+    ``*_<name>`` glob so checkpoints written by the trainer
+    (``{dataset}_{model}_entity.npy``) load directly."""
+    import glob
     for name in names:
         f = os.path.join(path, name)
         if os.path.exists(f):
             return np.load(f)
-    raise FileNotFoundError(
-        f"none of {names} found under {path}")
+    for name in names:
+        hits = sorted(glob.glob(os.path.join(path, f"*_{name}")))
+        hits = [h for h in hits if not h.endswith("_state.npy")]
+        if len(hits) == 1:
+            return np.load(hits[0])
+        if len(hits) > 1:
+            raise FileNotFoundError(
+                f"{name} not found under {path} and fallback glob *_{name} "
+                f"is ambiguous: {hits}")
+    raise FileNotFoundError(f"none of {names} found under {path}")
 
 
 class KGEModel(BasicGEModel):
