@@ -22,10 +22,49 @@ scatter-add whose cost scales with the batch, not the table.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+_PALLAS_MODE = "auto"
+
+
+def set_pallas_rows(mode: str) -> None:
+    """Select the row-movement backend: "auto" (Pallas on TPU), "on", "off".
+
+    ShardingPlan(table_sharding="vocab") forces "off": a pallas_call is an
+    opaque custom call to the SPMD partitioner, so the vocab-sharded path
+    must keep XLA gather/scatter (which partition cleanly into
+    all-to-alls).  Single-device / replicated-table runs keep "auto".
+    """
+    global _PALLAS_MODE
+    assert mode in ("auto", "on", "off"), mode
+    _PALLAS_MODE = mode
+
+
+def _pallas_rows_enabled() -> bool:
+    """Pallas row kernels: on for TPU backends unless DGLKE_TPU_PALLAS_ROWS
+    or set_pallas_rows overrides.  CPU/GPU fall back to XLA gather/scatter."""
+    env = os.environ.get("DGLKE_TPU_PALLAS_ROWS", "")
+    if env in ("0", "false"):
+        return False
+    if env in ("1", "true"):
+        return True
+    if _PALLAS_MODE == "off":
+        return False
+    if _PALLAS_MODE == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+# Tables smaller than this keep the XLA path even when Pallas is enabled:
+# per-row DMA pipelining only pays off when ids rarely collide inside the
+# in-flight window (entity tables); small dup-heavy tables (relations)
+# would serialize on the duplicate drain.
+_PALLAS_MIN_ROWS = 8192
 
 
 class EmbeddingState(NamedTuple):
@@ -86,14 +125,23 @@ def sparse_adagrad_update(table: EmbeddingState, ids: jnp.ndarray,
     state_sum = table.state_sum.at[ids].add(sq)
     std = jnp.sqrt(state_sum[ids]) + 1e-10
     delta = (-lr) * grads / std[:, None]
-    emb = table.emb.at[ids].add(delta.astype(table.emb.dtype))
+    if table.emb.shape[0] >= _PALLAS_MIN_ROWS and _pallas_rows_enabled():
+        from dglke_tpu.ops.pallas.rows import scatter_add_rows
+        emb = scatter_add_rows(table.emb, ids,
+                               delta.astype(table.emb.dtype))
+    else:
+        emb = table.emb.at[ids].add(delta.astype(table.emb.dtype))
     return EmbeddingState(emb=emb, state_sum=state_sum)
 
 
 def gather_rows(table: EmbeddingState, ids: jnp.ndarray,
                 dtype=None) -> jnp.ndarray:
     """Minibatch gather (the reference's ExternalEmbedding.__call__)."""
-    rows = table.emb[ids]
+    if table.emb.shape[0] >= _PALLAS_MIN_ROWS and _pallas_rows_enabled():
+        from dglke_tpu.ops.pallas.rows import gather_rows as pallas_gather
+        rows = pallas_gather(table.emb, ids)
+    else:
+        rows = table.emb[ids]
     if dtype is not None and rows.dtype != dtype:
         rows = rows.astype(dtype)
     return rows

@@ -72,6 +72,12 @@ class ShardingPlan:
                           step=self._sh())
 
     def put_state(self, state: TrainState) -> TrainState:
+        if self.table_sharding == "vocab":
+            # Pallas row kernels are opaque to the SPMD partitioner; the
+            # vocab-sharded path must keep XLA gather/scatter so the
+            # partitioner can turn them into all-to-alls.
+            from dglke_tpu.ops.embedding import set_pallas_rows
+            set_pallas_rows("off")
         sh = self.state_shardings(state.projection is not None)
         return jax.tree.map(
             lambda x, s: jax.device_put(x, s), state, sh,
