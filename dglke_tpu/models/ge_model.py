@@ -192,8 +192,8 @@ class BasicGEModel:
                 if is_transr:
                     proj = jnp.asarray(self._project_transr(
                         rel[i:i + batch_size]))
-                    hb = jnp.einsum("bd,bdk->bk", hb, proj)
-                    tb = jnp.einsum("bd,bdk->bk", tb, proj)
+                    hb = jnp.einsum("bd,bdk->bk", hb, proj, precision="highest")
+                    tb = jnp.einsum("bd,bdk->bk", tb, proj, precision="highest")
                 outs.append(np.asarray(sf.pos_score(hb, rb, tb)))
             return np.concatenate(outs)
 
@@ -202,8 +202,8 @@ class BasicGEModel:
             cols = []
             for j in range(len(rel)):
                 proj = jnp.asarray(self._project_transr(rel[j:j + 1])[0])
-                hp = h_emb @ proj
-                tp = t_emb @ proj
+                hp = jnp.matmul(h_emb, proj, precision="highest")
+                tp = jnp.matmul(t_emb, proj, precision="highest")
                 # TransR pos_score is gamma - L1 (score_functions.py)
                 s = sf.gamma - jnp.sum(jnp.abs(
                     hp[:, None, :] + r_emb[j][None, None, :]

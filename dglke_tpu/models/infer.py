@@ -48,7 +48,7 @@ def l1_sim(x, y, pw=False):
 def dot_sim(x, y, pw=False):
     if not pw:
         return jnp.einsum("id,jd->ij", x, y,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision="highest")
     return jnp.sum(x * y, axis=-1)
 
 
@@ -139,8 +139,8 @@ class InferModel:
                 proj = jnp.asarray(
                     self.projection_emb[rel[j]]).reshape(
                         self.entity_dim, self.relation_dim)
-                hp = h_emb @ proj
-                tp = t_emb @ proj
+                hp = jnp.matmul(h_emb, proj, precision="highest")
+                tp = jnp.matmul(t_emb, proj, precision="highest")
                 diff = hp[:, None, :] + r_emb[j][None, None, :] \
                     - tp[None, :, :]
                 s = sf.gamma - jnp.sum(jnp.abs(diff), axis=-1)  # [H, T]

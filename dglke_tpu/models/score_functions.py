@@ -38,7 +38,7 @@ def batched_l2_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     a_sq = jnp.sum(a * a, axis=-1)  # [..., M]
     b_sq = jnp.sum(b * b, axis=-1)  # [..., N]
-    ab = jnp.einsum("...md,...nd->...mn", a, b, preferred_element_type=jnp.float32)
+    ab = jnp.einsum("...md,...nd->...mn", a, b, preferred_element_type=jnp.float32, precision="highest")
     sq = a_sq[..., :, None] + b_sq[..., None, :] - 2.0 * ab
     return jnp.sqrt(jnp.clip(sq, min=1e-30))
 
@@ -147,7 +147,7 @@ class TransRScore(ScoreFunction):
         """ent: [B, De], proj: [B, De*Dr] -> [B, Dr]."""
         p = proj.reshape(-1, self.entity_dim, self.relation_dim)
         return jnp.einsum("bd,bdr->br", ent, p,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision="highest")
 
     def neg_project(self, neg_ent, proj, num_chunks):
         """neg_ent: [C*K, De], proj: [B, De*Dr] (per positive edge) ->
@@ -157,7 +157,7 @@ class TransRScore(ScoreFunction):
         n = neg_ent.reshape(num_chunks, 1, -1, self.entity_dim)
         # [C, Bc, K, Dr]
         return jnp.einsum("cxkd,cbdr->cbkr", n, p,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision="highest")
 
     def pos_score(self, head, rel, tail):
         # head/tail already projected to [B, Dr]
@@ -198,12 +198,12 @@ class DistMultScore(ScoreFunction):
         tmp = (emb * rel).reshape(num_chunks, chunk_size, d)
         neg = neg_emb.reshape(num_chunks, neg_sample_size, d)
         return jnp.einsum("cbd,ckd->cbk", tmp, neg,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision="highest")
 
     def infer_score(self, head, rel, tail):
         hr = head[:, None, :] * rel[None, :, :]
         return jnp.einsum("hrd,td->hrt", hr, tail,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision="highest")
 
 
 # ---------------------------------------------------------------------------
@@ -244,7 +244,7 @@ class ComplExScore(ScoreFunction):
         tmp = tmp.reshape(num_chunks, chunk_size, d)
         neg = neg_emb.reshape(num_chunks, neg_sample_size, d)
         return jnp.einsum("cbd,ckd->cbk", tmp, neg,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision="highest")
 
     def infer_score(self, head, rel, tail):
         re_h, im_h = self._split(head)
@@ -254,9 +254,9 @@ class ComplExScore(ScoreFunction):
         a = re_h[:, None, :] * re_r[None, :, :] - im_h[:, None, :] * im_r[None, :, :]
         b = im_h[:, None, :] * re_r[None, :, :] + re_h[:, None, :] * im_r[None, :, :]
         return (jnp.einsum("hrd,td->hrt", a, re_t,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32, precision="highest")
                 + jnp.einsum("hrd,td->hrt", b, im_t,
-                             preferred_element_type=jnp.float32))
+                             preferred_element_type=jnp.float32, precision="highest"))
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +279,7 @@ class RESCALScore(ScoreFunction):
 
     def pos_score(self, head, rel, tail):
         rt = jnp.einsum("...re,...e->...r", self._mat(rel), tail,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision="highest")
         return jnp.sum(head * rt, axis=-1)
 
     def neg_score(self, emb, rel, neg_emb, *, neg_head, num_chunks,
@@ -289,7 +289,7 @@ class RESCALScore(ScoreFunction):
         if neg_head:
             # tmp = R t per edge; score vs neg heads: h' . (R t)
             tmp = jnp.einsum("bre,be->br", rmat, emb,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32, precision="highest")
         else:
             # tmp = h^T R per edge; score vs neg tails: (h^T R) . t'.
             # NOTE deviation: the reference computes (R h) . t' = h^T R^T t'
@@ -298,18 +298,18 @@ class RESCALScore(ScoreFunction):
             # chunk-head).  We keep neg/pos algebraically consistent because
             # our filtered eval mixes both forms on the same scores.
             tmp = jnp.einsum("bre,br->be", rmat, emb,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32, precision="highest")
         tmp = tmp.reshape(num_chunks, chunk_size, d)
         neg = neg_emb.reshape(num_chunks, neg_sample_size, d)
         return jnp.einsum("cbd,ckd->cbk", tmp, neg,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision="highest")
 
     def infer_score(self, head, rel, tail):
         # score[h,r,t] = sum_d head[h,d] * (R[r] @ tail[t])[d]
         rt = jnp.einsum("rde,te->rtd", self._mat(rel), tail,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision="highest")
         return jnp.einsum("hd,rtd->hrt", head, rt,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision="highest")
 
 
 # ---------------------------------------------------------------------------
@@ -412,14 +412,14 @@ class SimplEScore(ScoreFunction):
         n_i, n_j = self._split(neg)
         if neg_head:
             s = jnp.einsum("cbd,ckd->cbk", fwd, n_i,
-                           preferred_element_type=jnp.float32) \
+                           preferred_element_type=jnp.float32, precision="highest") \
                 + jnp.einsum("cbd,ckd->cbk", bwd, n_j,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32, precision="highest")
         else:
             s = jnp.einsum("cbd,ckd->cbk", fwd, n_j,
-                           preferred_element_type=jnp.float32) \
+                           preferred_element_type=jnp.float32, precision="highest") \
                 + jnp.einsum("cbd,ckd->cbk", bwd, n_i,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32, precision="highest")
         return jnp.clip(0.5 * s, -20.0, 20.0)
 
     def infer_score(self, head, rel, tail):
@@ -427,9 +427,9 @@ class SimplEScore(ScoreFunction):
         t_i, t_j = self._split(tail)
         r, r_inv = self._split(rel)
         fwd = jnp.einsum("hrd,td->hrt", h_i[:, None, :] * r[None, :, :], t_j,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32, precision="highest")
         bwd = jnp.einsum("hrd,td->hrt", h_j[:, None, :] * r_inv[None, :, :], t_i,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32, precision="highest")
         # NOTE: the reference infer path does NOT clamp (score_fun.py:574-581);
         # we match it.
         return 0.5 * (fwd + bwd)
