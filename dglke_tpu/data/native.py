@@ -61,12 +61,37 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
         lib.kge_sampler_destroy.restype = None
         lib.kge_sampler_destroy.argtypes = [ctypes.c_void_p]
+        lib.kge_ldg_partition.restype = ctypes.c_int64
+        lib.kge_ldg_partition.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
+            ctypes.c_void_p]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def ldg_partition_native(h: np.ndarray, t: np.ndarray, n_nodes: int,
+                         k: int, seed: int = 0):
+    """C++ LDG node streaming (see native/ldg_partition.cpp).
+
+    Returns (assign [n_nodes] int32, edge_cut).  Raises RuntimeError when
+    the native library is unavailable — callers fall back to the numpy
+    implementation in partition_graph.py.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native partitioner not available")
+    h64 = np.ascontiguousarray(h, np.int64)
+    t64 = np.ascontiguousarray(t, np.int64)
+    assign = np.empty(n_nodes, np.int32)
+    cut = lib.kge_ldg_partition(h64.ctypes.data, t64.ctypes.data,
+                                len(h64), n_nodes, k, seed,
+                                assign.ctypes.data)
+    return assign, int(cut)
 
 
 class NativeSuperbatchSampler:

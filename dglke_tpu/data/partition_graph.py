@@ -80,7 +80,11 @@ def partition_and_write(triples: Tuple[np.ndarray, ...], n_entities: int,
                np.asarray(triples[1], np.int64),
                np.asarray(triples[2], np.int64))
     if method == "ldg":
-        assign = ldg_partition(h, t, n_entities, k, seed)
+        try:
+            from dglke_tpu.data.native import ldg_partition_native
+            assign, _ = ldg_partition_native(h, t, n_entities, k, seed)
+        except RuntimeError:
+            assign = ldg_partition(h, t, n_entities, k, seed)
     elif method == "random":
         assign = random_node_partition(n_entities, k, seed)
     else:
@@ -98,17 +102,18 @@ def partition_and_write(triples: Tuple[np.ndarray, ...], n_entities: int,
         inner = np.nonzero(assign == p)[0]
         halo = np.setdiff1d(np.unique(np.concatenate([ph, pt])), inner)
         local_nodes = np.concatenate([inner, halo])
-        g2l = {int(g): i for i, g in enumerate(local_nodes)}
-        with open(os.path.join(pdir, "train.txt"), "w") as f:
-            for i in range(len(ph)):
-                f.write(f"{g2l[int(ph[i])]}\t{int(pr[i])}\t"
-                        f"{g2l[int(pt[i])]}\n")
-        with open(os.path.join(pdir, "local_to_global.txt"), "w") as f:
-            f.writelines(f"{int(g)}\n" for g in local_nodes)
+        # vectorized global->local translation (a python dict per edge
+        # would take hours at Freebase's 338M edges)
+        g2l = np.full(n_entities, -1, np.int64)
+        g2l[local_nodes] = np.arange(len(local_nodes), dtype=np.int64)
+        local_triples = np.stack([g2l[ph], pr, g2l[pt]], axis=1)
+        np.savetxt(os.path.join(pdir, "train.txt"), local_triples,
+                   fmt="%d", delimiter="\t")
+        np.savetxt(os.path.join(pdir, "local_to_global.txt"),
+                   local_nodes[:, None], fmt="%d")
         with open(os.path.join(pdir, "relation_count.txt"), "w") as f:
             f.write(f"{n_relations}\n")
     for p in range(k):
-        with open(os.path.join(f"{out_prefix}{p}", "partition_book.txt"),
-                  "w") as f:
-            f.writelines(f"{int(x)}\n" for x in assign)
+        np.savetxt(os.path.join(f"{out_prefix}{p}", "partition_book.txt"),
+                   np.asarray(assign)[:, None], fmt="%d")
     return {"edge_cut": edge_cut, "assign": assign}
