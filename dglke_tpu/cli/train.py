@@ -95,10 +95,23 @@ def main(argv=None):
                                profile_dir=args.profile)
 
     if not cfg.no_save_emb:
-        save_model(cfg, model, state, emap_file=dataset.emap_fname,
-                   rmap_file=dataset.rmap_fname)
+        if jax.process_count() > 1:
+            # Gather the sharded tables so rank 0 can persist them (the
+            # reference's machine-0 100-slice pull, train_pytorch.py:282-335,
+            # collapses into one replicating jit).
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(plan.mesh, PartitionSpec())
+            state = jax.jit(
+                lambda s: s,
+                out_shardings=jax.tree.map(lambda _: rep, state))(state)
+            if jax.process_index() == 0:
+                save_model(cfg, model, state, emap_file=dataset.emap_fname,
+                           rmap_file=dataset.rmap_fname)
+        else:
+            save_model(cfg, model, state, emap_file=dataset.emap_fname,
+                       rmap_file=dataset.rmap_fname)
 
-    if cfg.test and dataset.test is not None:
+    if cfg.test and dataset.test is not None and jax.process_count() == 1:
         evaluate(cfg, dataset, model, state, "test",
                  filter_index=filter_index)
     return 0

@@ -383,7 +383,10 @@ class KEModel:
 
         side = t_use if neg_head else h_use
 
-        n_ent = state.entity.emb.shape[0]
+        # NOT the table shape: vocab-sharded tables are padded to a multiple
+        # of the mesh size (ShardingPlan.put_state); padded rows must never
+        # count as ranking candidates.
+        n_ent = self.n_entities
         n_blocks = -(-n_ent // block)
         padded = n_blocks * block
 

@@ -127,8 +127,16 @@ def train(config: KGEConfig, dataset: KGDataset,
         if plan is not None:
             state = plan.put_state(state)
 
+    # Multi-host SPMD: batch_size is PER HOST (reference dist semantics —
+    # each machine's trainer feeds its own batch, kvclient.py:140-156); the
+    # global SPMD batch is batch_size * nproc, assembled by plan.put_batch
+    # from each process's local sample over its own edge partition.
+    if plan is not None and jax.process_count() > 1:
+        if jax.process_index() != 0:
+            log = lambda *a, **k: None  # noqa: E731 — rank-0 logging
+
     sampler = TrainSampler(dataset, cfg.batch_size, cfg.neg_sample_size,
-                           seed=cfg.seed)
+                           seed=cfg.seed + jax.process_index())
     packed_mode = plan is None
     # In packed (single-transfer) mode, fuse steps_per_call steps into one
     # scanned device call; align the fusion with logging/eval cadence.

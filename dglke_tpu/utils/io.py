@@ -32,16 +32,17 @@ def save_model(config: KGEConfig, model: KEModel, state: TrainState,
     os.makedirs(path, exist_ok=True)
     prefix = f"{config.dataset}_{config.model_name}_"
     state = jax.device_get(state)
-    np.save(os.path.join(path, prefix + "entity.npy"),
-            np.asarray(state.entity.emb))
+    # vocab-sharded tables carry mesh-padding rows; never persist them
+    ent_emb = np.asarray(state.entity.emb)[:model.n_entities]
+    ent_ss = np.asarray(state.entity.state_sum)[:model.n_entities]
+    np.save(os.path.join(path, prefix + "entity.npy"), ent_emb)
     np.save(os.path.join(path, prefix + "relation.npy"),
             np.asarray(state.relation.emb))
     if state.projection is not None:
         np.save(os.path.join(path, prefix + "projection.npy"),
                 np.asarray(state.projection.emb))
     if save_opt_state:
-        np.save(os.path.join(path, prefix + "entity_state.npy"),
-                np.asarray(state.entity.state_sum))
+        np.save(os.path.join(path, prefix + "entity_state.npy"), ent_ss)
         np.save(os.path.join(path, prefix + "relation_state.npy"),
                 np.asarray(state.relation.state_sum))
         if state.projection is not None:

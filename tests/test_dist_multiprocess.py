@@ -1,0 +1,93 @@
+"""True multi-process SPMD training: 2 processes x 2 virtual CPU devices,
+entity table vocab-sharded over the 4-device global mesh, each process
+feeding its own edge partition — the framework's parameter-server
+replacement (SURVEY §2c P5) exercised end to end over real Gloo
+collectives."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+rank = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=rank,
+                           cluster_detection_method="deactivate")
+assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2
+
+import numpy as np
+from dglke_tpu.config import KGEConfig
+from dglke_tpu.data.dataset import synthetic_dataset, KGDataset
+from dglke_tpu.models.ke_model import KEModel
+from dglke_tpu.trainer import train
+from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
+from dglke_tpu.utils.io import save_model
+
+full = synthetic_dataset(n_entities=201, n_relations=5, n_train=2000, seed=3)
+h, r, t = full.train
+part = slice(rank, None, 2)               # this host's edge partition
+ds = KGDataset(name="synthetic", n_entities=201, n_relations=5,
+               train=(h[part], r[part], t[part]))
+
+cfg = KGEConfig(model_name="TransE_l2", hidden_dim=16, gamma=6.0, lr=0.25,
+                batch_size=64, neg_sample_size=16, max_step=30,
+                log_interval=10, dataset="synthetic", seed=11)
+plan = ShardingPlan(make_mesh(4), table_sharding="vocab")
+model = KEModel(cfg, ds.n_entities, ds.n_relations)
+model, state, _ = train(cfg, ds, model=model, plan=plan,
+                        log=lambda *a: None)
+assert int(state.step) == 30
+
+# replicate + save on rank 0 (the CLI's dist save path)
+from jax.sharding import NamedSharding, PartitionSpec
+rep = NamedSharding(plan.mesh, PartitionSpec())
+state = jax.jit(lambda s: s,
+                out_shardings=jax.tree.map(lambda _: rep, state))(state)
+if rank == 0:
+    save_model(cfg, model, state, save_path=outdir)
+    emb = np.asarray(jax.device_get(state.entity.emb))
+    assert np.isfinite(emb).all()
+print(f"rank {rank} OK")
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_vocab_sharded_training(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(rank), str(port),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        for rank in (0, 1)
+    ]
+    outs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"rank {rank} OK" in out, out
+
+    # rank 0 persisted the UNPADDED table (201 rows, not 204)
+    emb = np.load(tmp_path / "synthetic_TransE_l2_entity.npy")
+    assert emb.shape == (201, 16)
+    assert np.isfinite(emb).all()

@@ -174,3 +174,22 @@ def test_neg_deg_sample_masks_self(tiny_ds):
     # and training with it still learns
     _, _, metrics, _ = _run(cfg, tiny_ds)
     assert metrics["MRR"] > 0.12, metrics
+
+
+def test_vocab_sharding_uneven_entity_count(tmp_path):
+    """Entity counts rarely divide the mesh (Freebase: 86,054,151): the
+    plan pads the sharded table; ranking and checkpoints must ignore the
+    padding rows."""
+    from dglke_tpu.utils.io import save_model
+
+    ds = synthetic_dataset(n_entities=201, n_relations=5, n_train=2000,
+                           n_valid=50, n_test=50, seed=3)
+    cfg = small_config(batch_size=64, neg_sample_size=16, max_step=200,
+                       batch_size_eval=8)
+    plan = ShardingPlan(make_mesh(8), table_sharding="vocab")
+    model, state, metrics, _ = _run(cfg, ds, plan=plan)
+    assert state.entity.emb.shape[0] == 208      # padded to 8 devices
+    assert metrics["MRR"] > 0.15, metrics
+    path = save_model(cfg, model, state, save_path=str(tmp_path))
+    emb = np.load(tmp_path / "synthetic_TransE_l2_entity.npy")
+    assert emb.shape[0] == 201                   # persisted unpadded
