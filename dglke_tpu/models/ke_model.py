@@ -289,7 +289,7 @@ class KEModel:
 
     def make_device_pipeline_step(self, n_edges: int, batch_size: int,
                                   neg_total: int, steps_per_call: int,
-                                  donate: bool = True):
+                                  donate: bool = True, plan=None):
         """Fully device-resident pipeline: the training triples live in HBM
         and each call samples its own batches on device — no host work or
         host->device transfer in the hot loop at all.
@@ -328,6 +328,15 @@ class KEModel:
                 t = triples[2, row_idx]
                 neg = jax.random.randint(k, (neg_total,), 0,
                                          self.n_entities, dtype=jnp.int32)
+                if plan is not None:
+                    # triples/perm are replicated over the mesh; split the
+                    # batch (and its chunk-aligned negatives) across the dp
+                    # axis so every device scores its own slice against the
+                    # sharded tables — no host feed in the multi-chip loop.
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    dp = NamedSharding(plan.mesh, PartitionSpec(plan.axis))
+                    h, r, t, neg = (jax.lax.with_sharding_constraint(x, dp)
+                                    for x in (h, r, t, neg))
                 return self.train_step(st, h, r, t, neg, None,
                                        neg_head=neg_head)
 

@@ -138,9 +138,19 @@ def train(config: KGEConfig, dataset: KGDataset,
     sampler = TrainSampler(dataset, cfg.batch_size, cfg.neg_sample_size,
                            seed=cfg.seed + jax.process_index())
     packed_mode = plan is None
-    # In packed (single-transfer) mode, fuse steps_per_call steps into one
-    # scanned device call; align the fusion with logging/eval cadence.
-    s = cfg.steps_per_call if packed_mode else 1
+    # Single-host multi-device: keep the loop fully device-resident too —
+    # the sharded tables stay put and batches are sampled on device, split
+    # over the dp axis inside the jitted call.  A host feed would cap a
+    # multi-chip mesh at transfer latency.
+    device_pipe_mode = (plan is not None and jax.process_count() == 1
+                        and not dataset.has_edge_importance
+                        and dataset.n_train >= 2 * cfg.batch_size)
+    # In scanned modes, fuse steps_per_call steps into one device call;
+    # align the fusion with logging/eval cadence.
+    s = cfg.steps_per_call if (packed_mode or device_pipe_mode) else 1
+    if device_pipe_mode:
+        while s > 2 and s * cfg.batch_size > dataset.n_train:
+            s -= 2
     if s > 1:
         for interval in (cfg.log_interval,
                          cfg.eval_interval if cfg.valid else None,
@@ -150,7 +160,13 @@ def train(config: KGEConfig, dataset: KGDataset,
                     s -= 2
         if cfg.max_step % s != 0 or (s & 1):
             s = 2 if cfg.max_step % 2 == 0 else 1
-    if packed_mode and s > 1:
+    pipe = None
+    if device_pipe_mode and s > 1:
+        pipe = DevicePipeline(model, dataset, cfg.batch_size,
+                              sampler.num_chunks * sampler.neg_sample_size,
+                              s, seed=cfg.seed, plan=plan)
+        feeder = step_fn = prefetch = None
+    elif packed_mode and s > 1:
         feeder = None
         try:
             from dglke_tpu.data import native
@@ -173,7 +189,8 @@ def train(config: KGEConfig, dataset: KGDataset,
     else:
         feeder = sampler
         step_fn = model.make_train_step()
-    prefetch = Prefetcher(feeder, _put_batch(plan))
+    if pipe is None:
+        prefetch = Prefetcher(feeder, _put_batch(plan))
 
     logs: list = []
     start = time.time()
@@ -185,6 +202,28 @@ def train(config: KGEConfig, dataset: KGDataset,
         if profile_dir is not None and not profiling and step >= 2 * s:
             jax.profiler.start_trace(profile_dir)
             profiling = True
+        if pipe is not None:
+            t0 = time.time()
+            state, log_dict = pipe.run_call(state)
+            step += s
+            update_time += time.time() - t0
+            logs.append(log_dict)
+            if step % cfg.log_interval == 0:
+                host_logs = jax.device_get(logs)
+                for k in host_logs[0]:
+                    v = float(np.mean([l[k] for l in host_logs]))
+                    log(f"[proc 0][Train]({step}/{cfg.max_step}) "
+                        f"average {k}: {v}")
+                logs = []
+                log(f"[proc 0][Train] {cfg.log_interval} steps take "
+                    f"{time.time() - tic:.3f} seconds")
+                tic = time.time()
+            if (cfg.valid and valid_samplers is not None
+                    and step % cfg.eval_interval == 0):
+                evaluate_with_samplers(model, state, valid_samplers,
+                                       phase="Valid", log=log)
+            continue
+
         t0 = time.time()
         batch = next(prefetch)
         sample_time += time.time() - t0
@@ -236,7 +275,8 @@ def train(config: KGEConfig, dataset: KGDataset,
         jax.profiler.stop_trace()
     total = time.time() - start
     log(f"[proc 0]training takes {total} seconds")
-    prefetch.close()
+    if pipe is None:
+        prefetch.close()
     return model, state, {"train_time": total}
 
 
@@ -268,10 +308,19 @@ class DevicePipeline:
     (computed ON DEVICE) between epochs."""
 
     def __init__(self, model: KEModel, dataset, batch_size: int,
-                 neg_total: int, steps_per_call: int, seed: int = 0):
+                 neg_total: int, steps_per_call: int, seed: int = 0,
+                 plan=None):
         h, r, t = dataset.train[0], dataset.train[1], dataset.train[2]
-        self.triples = jax.device_put(
-            np.stack([h, r, t]).astype(np.int32))
+        triples = np.stack([h, r, t]).astype(np.int32)
+        if plan is not None:
+            # replicate the edge list over the mesh; batches are split onto
+            # the dp axis inside the jitted call (with_sharding_constraint)
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._rep = NamedSharding(plan.mesh, PartitionSpec())
+            self.triples = jax.device_put(triples, self._rep)
+        else:
+            self._rep = None
+            self.triples = jax.device_put(triples)
         self.n_edges = len(h)
         self.b = batch_size
         self.s = steps_per_call
@@ -279,16 +328,22 @@ class DevicePipeline:
             "device pipeline needs n_edges >= steps_per_call * batch_size; "
             "lower steps_per_call for tiny datasets")
         self.step_fn = model.make_device_pipeline_step(
-            self.n_edges, batch_size, neg_total, steps_per_call)
+            self.n_edges, batch_size, neg_total, steps_per_call, plan=plan)
         # rbg keys use the TPU's hardware RngBitGenerator: orders of
         # magnitude cheaper per scan iteration than threefry for the
         # per-step negative draws.
         try:
-            self.base_key = jax.device_put(jax.random.key(seed, impl="rbg"))
+            key = jax.random.key(seed, impl="rbg")
         except Exception:
-            self.base_key = jax.device_put(jax.random.PRNGKey(seed))
-        # placeholder perm buffer; the first call regenerates it on device
-        self.perm = jax.device_put(np.arange(self.n_edges, dtype=np.int32))
+            key = jax.random.PRNGKey(seed)
+        perm = np.arange(self.n_edges, dtype=np.int32)
+        if self._rep is not None:
+            self.base_key = jax.device_put(key, self._rep)
+            # placeholder; the first call regenerates it on device
+            self.perm = jax.device_put(perm, self._rep)
+        else:
+            self.base_key = jax.device_put(key)
+            self.perm = jax.device_put(perm)
         self.pos = self.n_edges  # force refresh on first call
         self.epoch = -1
         self.call_idx = 0
