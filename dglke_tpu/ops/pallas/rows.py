@@ -42,7 +42,7 @@ def _gather_kernel(ids_ref, table_ref, out_ref, sems):
         make(i).start()
         return _
 
-    jax.lax.fori_loop(0, jnp.minimum(_K, n), warm, None, unroll=True)
+    jax.lax.fori_loop(0, min(_K, n), warm, None, unroll=True)
 
     def body(i, _):
         make(i).wait()
@@ -130,7 +130,7 @@ def _rmw_kernel(ids_ref, conflict_ref, delta_ref, table_in_ref, table_out_ref,
         maybe_start_read(i)
         return _
 
-    jax.lax.fori_loop(0, jnp.minimum(_K, n), warm, None, unroll=True)
+    jax.lax.fori_loop(0, min(_K, n), warm, None, unroll=True)
 
     def body(i, _):
         # Retire the write that used wbuf slot i%K, freeing it for reuse
