@@ -153,14 +153,18 @@ class KEModel:
         # and gradients accumulate in fp32 (preferred_element_type) and the
         # Adagrad update stays fp32.
         cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-        h_rows = gather_rows(state.entity, h)
-        t_rows = gather_rows(state.entity, t)
+        # ONE entity gather for [h | t | neg]: a third of the row-DMA
+        # launches, and the gradient comes back as the single [3B+CK, D]
+        # array the sparse Adagrad update consumes directly.
+        ent_ids = jnp.concatenate([h, t, neg])
+        ent_rows = gather_rows(state.entity, ent_ids)
         rel_rows = gather_rows(state.relation, r)
-        neg_rows = gather_rows(state.entity, neg)
         proj_rows = (gather_rows(state.projection, r)
                      if self.is_transr else None)
 
-        def loss_fn(h_rows, t_rows, rel_rows, neg_rows, proj_rows):
+        def loss_fn(ent_rows, rel_rows, proj_rows):
+            h_rows, t_rows = ent_rows[:b], ent_rows[b:2 * b]
+            neg_rows = ent_rows[2 * b:]
             if cdtype is not None:
                 sh, st_, sr, sn = (x.astype(cdtype) for x in
                                    (h_rows, t_rows, rel_rows, neg_rows))
@@ -178,24 +182,20 @@ class KEModel:
             negs = negs.astype(jnp.float32)
             loss, log = self.loss_gen.get_total_loss(pos, negs, impts)
             if cfg.regularization_coef > 0.0 and cfg.regularization_norm > 0:
-                reg_rows = [h_rows, t_rows, neg_rows, rel_rows]
+                reg_rows = [ent_rows, rel_rows]
                 reg = regularization(cfg.regularization_coef,
                                      cfg.regularization_norm, reg_rows)
                 log["regularization"] = reg
                 loss = loss + reg
             return loss, log
 
-        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4)
-                                     if self.is_transr else (0, 1, 2, 3),
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2)
+                                     if self.is_transr else (0, 1),
                                      has_aux=True)
-        if self.is_transr:
-            (loss, log), grads = grad_fn(h_rows, t_rows, rel_rows, neg_rows,
-                                         proj_rows)
-        else:
-            (loss, log), grads = grad_fn(h_rows, t_rows, rel_rows, neg_rows,
-                                         proj_rows)
+        (loss, log), grads = grad_fn(ent_rows, rel_rows, proj_rows)
+        if not self.is_transr:
             grads = grads + (None,)
-        return loss, log, grads
+        return loss, log, (ent_ids,) + grads
 
     # -- train step ----------------------------------------------------------
 
@@ -205,10 +205,7 @@ class KEModel:
         cfg = self.config
         loss, log, grads = self.loss_and_grads(state, h, r, t, neg, impts,
                                                neg_head=neg_head)
-        g_h, g_t, g_r, g_neg, g_proj = grads
-
-        ent_ids = jnp.concatenate([h, t, neg])
-        ent_grads = jnp.concatenate([g_h, g_t, g_neg], axis=0)
+        ent_ids, ent_grads, g_r, g_proj = grads
         entity = sparse_adagrad_update(state.entity, ent_ids, ent_grads,
                                        cfg.lr)
         relation = sparse_adagrad_update(state.relation, r, g_r, cfg.lr)
