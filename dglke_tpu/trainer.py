@@ -218,6 +218,12 @@ def train(config: KGEConfig, dataset: KGDataset,
                 log(f"[proc 0][Train] {cfg.log_interval} steps take "
                     f"{time.time() - tic:.3f} seconds")
                 tic = time.time()
+            if profiling and step >= 4 * s:
+                jax.block_until_ready(state.entity.emb)
+                jax.profiler.stop_trace()
+                profiling = False
+                profile_dir = None
+                log("[proc 0]profiler trace written")
             if (cfg.valid and valid_samplers is not None
                     and step % cfg.eval_interval == 0):
                 evaluate_with_samplers(model, state, valid_samplers,
