@@ -198,6 +198,15 @@ def train(config: KGEConfig, dataset: KGDataset,
     tic = time.time()
     step = 0
     profiling = False
+
+    def stop_profiler():
+        # Force completion by fetching a scalar to the host: on the
+        # tunneled TPU block_until_ready is unreliable (see bench.py),
+        # and stopping the trace mid-flight truncates it.
+        jax.device_get(state.entity.emb[0, 0])
+        jax.profiler.stop_trace()
+        log("[proc 0]profiler trace written")
+
     while step < cfg.max_step:
         if profile_dir is not None and not profiling and step >= 2 * s:
             jax.profiler.start_trace(profile_dir)
@@ -219,11 +228,9 @@ def train(config: KGEConfig, dataset: KGDataset,
                     f"{time.time() - tic:.3f} seconds")
                 tic = time.time()
             if profiling and step >= 4 * s:
-                jax.block_until_ready(state.entity.emb)
-                jax.profiler.stop_trace()
+                stop_profiler()
                 profiling = False
                 profile_dir = None
-                log("[proc 0]profiler trace written")
             if (cfg.valid and valid_samplers is not None
                     and step % cfg.eval_interval == 0):
                 evaluate_with_samplers(model, state, valid_samplers,
@@ -267,18 +274,16 @@ def train(config: KGEConfig, dataset: KGDataset,
             tic = time.time()
 
         if profiling and step >= 4 * s:
-            jax.block_until_ready(state.entity.emb)
-            jax.profiler.stop_trace()
+            stop_profiler()
             profiling = False
             profile_dir = None
-            log(f"[proc 0]profiler trace written")
 
         if (cfg.valid and valid_samplers is not None
                 and step % cfg.eval_interval == 0):
             vm = evaluate_with_samplers(model, state, valid_samplers,
                                         phase="Valid", log=log)
     if profiling:
-        jax.profiler.stop_trace()
+        stop_profiler()
     total = time.time() - start
     log(f"[proc 0]training takes {total} seconds")
     if pipe is None:
