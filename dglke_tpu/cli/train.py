@@ -79,9 +79,16 @@ def main(argv=None):
               f"{int(state.step)}")
     print(f"Init takes {time.time() - init_start:.3f} seconds")
 
-    filter_index = FilterIndex(dataset) if cfg.eval_filter else None
+    candidate_mode = dataset.valid_dict is not None or \
+        dataset.test_dict is not None
+    filter_index = (FilterIndex(dataset)
+                    if cfg.eval_filter and not candidate_mode else None)
     valid_samplers = None
-    if args.valid and dataset.valid is not None:
+    if args.valid and dataset.valid_dict is not None:
+        from dglke_tpu.trainer import CandidateEvalSampler
+        valid_samplers = [CandidateEvalSampler(dataset.valid_dict,
+                                               cfg.batch_size_eval)]
+    elif args.valid and dataset.valid is not None:
         from dglke_tpu.data.sampler import EvalSampler
         valid_samplers = [
             EvalSampler(dataset, "valid", cfg.batch_size_eval, mode,
@@ -111,9 +118,19 @@ def main(argv=None):
             save_model(cfg, model, state, emap_file=dataset.emap_fname,
                        rmap_file=dataset.rmap_fname)
 
-    if cfg.test and dataset.test is not None and jax.process_count() == 1:
-        evaluate(cfg, dataset, model, state, "test",
-                 filter_index=filter_index)
+    if cfg.test and jax.process_count() == 1:
+        if dataset.test_dict is not None:
+            # wikikg90M protocol: write test_{rank}.pkl top-10 predictions
+            # (reference train_pytorch.py:208-234)
+            from dglke_tpu.trainer import CandidateEvalSampler, \
+                evaluate_candidates
+            sampler = CandidateEvalSampler(dataset.test_dict,
+                                           cfg.batch_size_eval)
+            evaluate_candidates(model, state, sampler, mode="Test",
+                                save_path=cfg.save_path)
+        elif dataset.test is not None:
+            evaluate(cfg, dataset, model, state, "test",
+                     filter_index=filter_index)
     return 0
 
 

@@ -53,6 +53,10 @@ class KGDataset:
     relation2id: Optional[Dict[str, int]] = None
     emap_fname: Optional[str] = None
     rmap_fname: Optional[str] = None
+    # candidate-list eval splits (wikikg90M protocol): dicts of the form
+    # {"h,r->t": {"hr": [N,2], "t_candidate": [N,K], "t_correct_index": [N]}}
+    valid_dict: Optional[dict] = None
+    test_dict: Optional[dict] = None
 
     @property
     def has_edge_importance(self) -> bool:
@@ -231,6 +235,28 @@ def _load_ogb(data_path: str, name: str) -> KGDataset:
                      valid=tri(valid), test=tri(test))
 
 
+def _load_wiki90m(data_path: str) -> KGDataset:
+    """wikikg90M (OGB-LSC) with candidate-list eval splits (reference
+    KGDatasetWiki90M, KGDataset.py:471-503): train is an [N,3] hrt array;
+    valid/test are 'h,r->t' query dicts with 1001 tail candidates each."""
+    try:
+        from ogb.lsc import WikiKG90MDataset  # noqa
+    except ImportError as e:
+        raise ImportError(
+            "Dataset wikikg90M requires the `ogb` package (ogb.lsc), "
+            "which is not installed in this environment.") from e
+    dataset = WikiKG90MDataset(data_path)
+    hrt = np.asarray(dataset.train_hrt)
+    return KGDataset(
+        name="wikikg90M",
+        n_entities=int(dataset.num_entities),
+        n_relations=int(dataset.num_relations),
+        train=(hrt[:, 0].astype(np.int64), hrt[:, 1].astype(np.int64),
+               hrt[:, 2].astype(np.int64)),
+        valid_dict=dataset.valid_dict,
+        test_dict=dataset.test_dict)
+
+
 # ---------------------------------------------------------------------------
 # User-defined datasets
 
@@ -324,6 +350,8 @@ def get_dataset(data_path: str, data_name: str, format_str: str,
     if format_str == "built_in":
         if data_name in ("wikikg2", "biokg"):
             return _load_ogb(data_path, data_name)
+        if data_name == "wikikg90M":
+            return _load_wiki90m(data_path)
         return load_builtin(data_path, data_name)
     if format_str.startswith("raw_udd"):
         return load_raw_udd(data_path, data_name, delimiter, files,

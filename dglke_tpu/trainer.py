@@ -433,6 +433,12 @@ def evaluate_candidates(model: KEModel, state: TrainState,
 
 def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
                            phase: str = "Test", log=print) -> Dict[str, float]:
+    if any(isinstance(s, CandidateEvalSampler) for s in samplers):
+        # candidate-list protocol (wikikg90M): one sampler, Valid-mode
+        # metrics from the answer's rank among its candidates
+        (sampler,) = samplers
+        return evaluate_candidates(model, state, sampler, mode="Valid",
+                                   log=log)
     eval_fn = model.make_eval_step()
     all_ranks = []
     start = time.time()

@@ -51,6 +51,28 @@ def test_candidate_valid_metrics():
     assert want_mr_low <= metrics["MR"] <= ranks.mean() + 1e-6
 
 
+def test_valid_hook_routes_candidate_sampler():
+    """The periodic-validation hook dispatches candidate-list samplers to
+    evaluate_candidates (the wikikg90M --valid path in the train CLI)."""
+    from dglke_tpu.trainer import evaluate_with_samplers
+    cfg, model, state, edges = _setup()
+    sampler = CandidateEvalSampler(edges, batch_size=8)
+    direct = evaluate_candidates(model, state, sampler, mode="Valid",
+                                 log=lambda *a: None)
+    routed = evaluate_with_samplers(model, state, [sampler],
+                                    phase="Valid", log=lambda *a: None)
+    assert routed == direct
+
+
+def test_dataset_candidate_fields():
+    """KGDataset carries candidate-eval splits for the wikikg90M loader."""
+    from dglke_tpu.data.dataset import KGDataset
+    d = KGDataset(name="x", n_entities=4, n_relations=2,
+                  train=(np.zeros(3, np.int64),) * 3,
+                  valid_dict={"h,r->t": {}})
+    assert d.valid_dict is not None and d.test_dict is None
+
+
 def test_candidate_test_pkl(tmp_path):
     cfg, model, state, edges = _setup()
     sampler = CandidateEvalSampler(edges, batch_size=8)
