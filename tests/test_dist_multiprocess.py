@@ -72,8 +72,12 @@ def test_two_process_vocab_sharded_training(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # sys.path[0] of the worker is /tmp (the script dir), so the package
+    # must come from PYTHONPATH — don't rely on an editable install.
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(rank), str(port),
