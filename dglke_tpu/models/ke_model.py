@@ -61,6 +61,7 @@ class KEModel:
         self.score_fn: ScoreFunction = score_fn
         self.entity_dim = entity_dim
         self.relation_dim = relation_dim
+        self.proj_dim = entity_dim * relation_dim  # TransR projection width
         self.is_transr = isinstance(score_fn, TransRScore)
         self.loss_gen = LossGenerator(
             loss_genre=config.loss_genre,
@@ -157,9 +158,9 @@ class KEModel:
         # launches, and the gradient comes back as the single [3B+CK, D]
         # array the sparse Adagrad update consumes directly.
         ent_ids = jnp.concatenate([h, t, neg])
-        ent_rows = gather_rows(state.entity, ent_ids)
-        rel_rows = gather_rows(state.relation, r)
-        proj_rows = (gather_rows(state.projection, r)
+        ent_rows = gather_rows(state.entity, ent_ids, dim=self.entity_dim)
+        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
+        proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim)
                      if self.is_transr else None)
 
         def loss_fn(ent_rows, rel_rows, proj_rows):
@@ -375,10 +376,11 @@ class KEModel:
             # so keep their tiles smaller.
             block = 16384 if sf.name in ("TransE_l2", "DistMult", "ComplEx",
                                          "RESCAL", "SimplE") else 2048
-        h_rows = gather_rows(state.entity, h)
-        t_rows = gather_rows(state.entity, t)
-        rel_rows = gather_rows(state.relation, r)
-        proj_rows = gather_rows(state.projection, r) if self.is_transr else None
+        h_rows = gather_rows(state.entity, h, dim=self.entity_dim)
+        t_rows = gather_rows(state.entity, t, dim=self.entity_dim)
+        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
+        proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim)
+                     if self.is_transr else None)
 
         if self.is_transr:
             h_use = sf.project(h_rows, proj_rows)
@@ -399,7 +401,7 @@ class KEModel:
         def score_block(start):
             ids = start + jnp.arange(block)
             ids_c = jnp.minimum(ids, n_ent - 1)
-            cand = state.entity.emb[ids_c]
+            cand = gather_rows(state.entity, ids_c, dim=self.entity_dim)
             if self.is_transr:
                 cand_p = sf.neg_project(cand, proj_rows, 1)
                 s = sf.neg_score(side.reshape(1, b, -1), rel_rows, cand_p,
@@ -423,7 +425,8 @@ class KEModel:
         # subtraction is exact even for near-ties (the matmul-expansion
         # distance differs from the direct form by a few ulps).
         f = filter_ids.shape[1]
-        cand = state.entity.emb[filter_ids.reshape(-1)]
+        cand = gather_rows(state.entity, filter_ids.reshape(-1),
+                           dim=self.entity_dim)
         if self.is_transr:
             cand_p = sf.neg_project(cand, proj_rows, b)  # [B, 1, F, Dr]
             fs = sf.neg_score(side.reshape(b, 1, -1), rel_rows, cand_p,
@@ -443,9 +446,10 @@ class KEModel:
         sf = self.score_fn
         b = h.shape[0]
         k = cand_ids.shape[1]
-        h_rows = gather_rows(state.entity, h)
-        rel_rows = gather_rows(state.relation, r)
-        cand = state.entity.emb[cand_ids.reshape(-1)]
+        h_rows = gather_rows(state.entity, h, dim=self.entity_dim)
+        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
+        cand = gather_rows(state.entity, cand_ids.reshape(-1),
+                           dim=self.entity_dim)
         s = sf.neg_score(h_rows, rel_rows, cand, neg_head=neg_head,
                          num_chunks=b, chunk_size=1, neg_sample_size=k)
         return s.reshape(b, k)
@@ -468,12 +472,13 @@ class KEModel:
         (wikikg90M-style / --no_eval_filter with sampled negatives)."""
         sf = self.score_fn
         b = h.shape[0]
-        h_rows = gather_rows(state.entity, h)
-        t_rows = gather_rows(state.entity, t)
-        rel_rows = gather_rows(state.relation, r)
+        h_rows = gather_rows(state.entity, h, dim=self.entity_dim)
+        t_rows = gather_rows(state.entity, t, dim=self.entity_dim)
+        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
         pos = sf.pos_score(h_rows, rel_rows, t_rows)
         k = cand_ids.shape[1]
-        cand = state.entity.emb[cand_ids.reshape(-1)]
+        cand = gather_rows(state.entity, cand_ids.reshape(-1),
+                           dim=self.entity_dim)
         side = t_rows if neg_head else h_rows
         # one chunk per row: [B, 1, K]
         s = sf.neg_score(side, rel_rows, cand, neg_head=neg_head,

@@ -46,18 +46,20 @@ def set_pallas_rows(mode: str) -> None:
 
 
 def _pallas_rows_enabled() -> bool:
-    """Pallas row kernels: on for TPU backends unless DGLKE_TPU_PALLAS_ROWS
-    or set_pallas_rows overrides.  CPU/GPU fall back to XLA gather/scatter."""
+    """Pallas row kernels: EXPERIMENTAL, default off.
+
+    Measured on a v5e (tools/bench_rows.py, N=3000 D=512): XLA's own row
+    movement is already at the scattered-row issue-rate floor (~50 ns/row;
+    gather 78 GB/s, scatter-add 78 GB/s) and the per-row-DMA kernels run at
+    ~60-120 ns/row — XLA wins at every shape tried (E=15k..1M, D=512..2048
+    except a slight scatter win at D=2048).  Kept behind
+    DGLKE_TPU_PALLAS_ROWS=1 / set_pallas_rows("on") for experimentation."""
     env = os.environ.get("DGLKE_TPU_PALLAS_ROWS", "")
     if env in ("0", "false"):
         return False
     if env in ("1", "true"):
         return True
-    if _PALLAS_MODE == "off":
-        return False
-    if _PALLAS_MODE == "on":
-        return True
-    return jax.default_backend() == "tpu"
+    return _PALLAS_MODE == "on"
 
 
 # Tables smaller than this keep the XLA path even when Pallas is enabled:
@@ -65,6 +67,23 @@ def _pallas_rows_enabled() -> bool:
 # in-flight window (entity tables); small dup-heavy tables (relations)
 # would serialize on the duplicate drain.
 _PALLAS_MIN_ROWS = 8192
+
+# TPU vector lane width.  Row DMAs move full (8, 128) tiles, so Pallas-path
+# tables store their feature dim padded to a lane multiple (e.g. 400 -> 512);
+# the pad columns are zero forever (gathers slice them off, scatter deltas
+# pad with zeros) and XLA would pad rows to the same tile in VMEM anyway.
+_LANE = 128
+
+
+def padded_dim(dim: int) -> int:
+    return -(-dim // _LANE) * _LANE
+
+
+def _pallas_ok(emb: jnp.ndarray) -> bool:
+    """Pallas row kernels require lane-aligned rows (full-tile DMAs)."""
+    return (emb.shape[0] >= _PALLAS_MIN_ROWS
+            and emb.shape[1] % _LANE == 0
+            and _pallas_rows_enabled())
 
 
 class EmbeddingState(NamedTuple):
@@ -77,10 +96,27 @@ class EmbeddingState(NamedTuple):
 def init_embedding(key: jax.Array, num: int, dim: int,
                    emb_init: float, dtype=jnp.float32) -> EmbeddingState:
     """Uniform(-emb_init, emb_init) init, zero Adagrad state
-    (reference tensor_models.py:240-248)."""
+    (reference tensor_models.py:240-248).
+
+    Pallas-eligible tables are stored lane-padded ([num, padded_dim(dim)],
+    pad columns zero); callers recover logical rows via
+    ``gather_rows(..., dim=dim)`` and checkpoint save slices the pad off.
+    """
     emb = jax.random.uniform(key, (num, dim), dtype=dtype,
                              minval=-emb_init, maxval=emb_init)
+    emb = maybe_pad_features(emb)
     return EmbeddingState(emb=emb, state_sum=jnp.zeros((num,), dtype=dtype))
+
+
+def maybe_pad_features(emb: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the feature dim to a lane multiple for tables that will use
+    the Pallas row kernels.  No-op on CPU/GPU, small tables, or when rows
+    are already lane-aligned."""
+    num, dim = emb.shape
+    if (num >= _PALLAS_MIN_ROWS and dim % _LANE != 0
+            and _pallas_rows_enabled()):
+        emb = jnp.pad(emb, ((0, 0), (0, padded_dim(dim) - dim)))
+    return emb
 
 
 def segment_dedup(ids: jnp.ndarray, grads: jnp.ndarray
@@ -121,27 +157,38 @@ def sparse_adagrad_update(table: EmbeddingState, ids: jnp.ndarray,
     occurrences — identical to a segment-summed deduplicated update.
     Skipping the dedup removes a [N] argsort + two segment-sums from the
     hot step (~160us/step on a v5e at N=3000)."""
+    # sq is the mean over the LOGICAL dim (grads are unpadded rows); padding
+    # only enters below, as zero delta columns that keep the pad at zero.
     sq = jnp.mean(grads * grads, axis=1)
     state_sum = table.state_sum.at[ids].add(sq)
     std = jnp.sqrt(state_sum[ids]) + 1e-10
     delta = (-lr) * grads / std[:, None]
-    if table.emb.shape[0] >= _PALLAS_MIN_ROWS and _pallas_rows_enabled():
+    delta = delta.astype(table.emb.dtype)
+    if delta.shape[1] != table.emb.shape[1]:
+        delta = jnp.pad(delta,
+                        ((0, 0), (0, table.emb.shape[1] - delta.shape[1])))
+    if _pallas_ok(table.emb):
         from dglke_tpu.ops.pallas.rows import scatter_add_rows
-        emb = scatter_add_rows(table.emb, ids,
-                               delta.astype(table.emb.dtype))
+        emb = scatter_add_rows(table.emb, ids, delta)
     else:
-        emb = table.emb.at[ids].add(delta.astype(table.emb.dtype))
+        emb = table.emb.at[ids].add(delta)
     return EmbeddingState(emb=emb, state_sum=state_sum)
 
 
 def gather_rows(table: EmbeddingState, ids: jnp.ndarray,
-                dtype=None) -> jnp.ndarray:
-    """Minibatch gather (the reference's ExternalEmbedding.__call__)."""
-    if table.emb.shape[0] >= _PALLAS_MIN_ROWS and _pallas_rows_enabled():
+                dtype=None, dim: int | None = None) -> jnp.ndarray:
+    """Minibatch gather (the reference's ExternalEmbedding.__call__).
+
+    ``dim`` is the table's LOGICAL feature width: lane-padded tables (see
+    ``init_embedding``) return rows sliced back to it.
+    """
+    if _pallas_ok(table.emb):
         from dglke_tpu.ops.pallas.rows import gather_rows as pallas_gather
         rows = pallas_gather(table.emb, ids)
     else:
         rows = table.emb[ids]
+    if dim is not None and rows.shape[-1] != dim:
+        rows = rows[..., :dim]
     if dtype is not None and rows.dtype != dtype:
         rows = rows.astype(dtype)
     return rows

@@ -1,13 +1,24 @@
-"""Pallas TPU kernels for embedding-row movement — the HBM-bandwidth hot path.
+"""Pallas TPU kernels for embedding-row movement (EXPERIMENTAL, default off).
 
 The training step's cost is dominated by moving ~4k embedding rows per step
 between HBM and compute: gather (h, t, negatives) and the row-sparse Adagrad
-write-back.  XLA lowers both to per-row dynamic slices that run far below DMA
-roofline (~45 GB/s measured on a v5e vs ~800 GB/s HBM).  These kernels issue
-one async DMA per row with a K-deep in-flight ring so row latency overlaps,
-the way the reference's CPU/GPU gathers rely on torch's batched index kernels
+write-back.  These kernels issue one async DMA per row with a K-deep
+in-flight ring so row latency overlaps, playing the role of torch's batched
+index kernels in the reference
 (/root/reference/python/dglke/models/pytorch/tensor_models.py:270-302,
 304-362 — `ExternalEmbedding.__call__` / `.update`).
+
+Measured reality on a v5e (tools/bench_rows.py): scattered-row movement is
+DMA *issue-rate* bound, not bandwidth bound — both XLA's lowering (~50
+ns/row) and these kernels (~60-120 ns/row) hit that floor, and deeper rings
+/ bulk semaphore waits / staged chunked writes do not move it (all tried).
+XLA therefore remains the default row path (`ops/embedding.py`
+`_pallas_rows_enabled`); these kernels are kept for experimentation on
+other TPU generations.  Caveats when enabling: tables must be lane-padded
+(feature dim a multiple of 128 — `ops/embedding.py` does this), and the
+rank-2->rank-3 reshape at the call boundary can defeat XLA's
+input/output aliasing inside a scan, inserting a full-table copy per call
+(catastrophic for large tables).
 
 Duplicate ids in the Adagrad write-back (`index_add_` semantics: duplicates
 accumulate) are handled without any sort/dedup: a host-precomputed
@@ -32,6 +43,10 @@ _K = 16
 
 
 def _gather_kernel(ids_ref, table_ref, out_ref, sems):
+    # table_ref/out_ref are rank-3 [rows, 1, D]: the row index is a LEADING
+    # (untiled) dim, so single-row memref slices are legal — rank-2 [rows, D]
+    # would put rows on the sublane dim, where Mosaic requires slices to be
+    # 8-aligned ("Slice shape along dimension 0 must be aligned to tiling").
     n = out_ref.shape[0]
 
     def make(i):
@@ -61,20 +76,23 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray,
     """table: [E, D]; ids: [N] int32 -> [N, D] (table[ids])."""
     n = ids.shape[0]
     d = table.shape[1]
+    # Tables are pinned to HBM and viewed rank-3 [E, 1, D] so the row index
+    # is a leading untiled dim (see _gather_kernel).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_K,))],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _gather_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, d), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, 1, d), table.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, table)
+    )(ids, table.reshape(table.shape[0], 1, d))
+    return out.reshape(n, d)
 
 
 def window_conflicts(ids: jnp.ndarray, window: int = 2 * _K) -> jnp.ndarray:
@@ -186,27 +204,32 @@ def scatter_add_rows(table: jnp.ndarray, ids: jnp.ndarray,
     if conflict is None:
         conflict = window_conflicts(ids)
     n, d = delta.shape
+    e = table.shape[0]
+    # All row-indexed refs are rank-3 [rows, 1, D]: leading untiled row dim
+    # (see _gather_kernel).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # delta
-            pl.BlockSpec(memory_space=pl.ANY),    # table (aliased)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # table
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((_K, d), table.dtype),   # rbuf
-            pltpu.VMEM((_K, d), table.dtype),   # wbuf
+            pltpu.VMEM((_K, 1, d), table.dtype),   # rbuf
+            pltpu.VMEM((_K, 1, d), table.dtype),   # wbuf
             pltpu.SemaphoreType.DMA((_K,)),
             pltpu.SemaphoreType.DMA((_K,)),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _rmw_kernel,
-        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        out_shape=jax.ShapeDtypeStruct((e, 1, d), table.dtype),
         grid_spec=grid_spec,
         input_output_aliases={3: 0},   # table (after 2 scalar-prefetch args + delta)
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, conflict, delta.astype(table.dtype), table)
+    )(ids, conflict, delta.astype(table.dtype).reshape(n, 1, d),
+      table.reshape(e, 1, d))
+    return out.reshape(e, d)

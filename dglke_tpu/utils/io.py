@@ -32,15 +32,17 @@ def save_model(config: KGEConfig, model: KEModel, state: TrainState,
     os.makedirs(path, exist_ok=True)
     prefix = f"{config.dataset}_{config.model_name}_"
     state = jax.device_get(state)
-    # vocab-sharded tables carry mesh-padding rows; never persist them
-    ent_emb = np.asarray(state.entity.emb)[:model.n_entities]
+    # vocab-sharded tables carry mesh-padding rows and Pallas-path tables
+    # carry lane-padding columns; never persist either
+    ent_emb = np.asarray(state.entity.emb)[:model.n_entities,
+                                           :model.entity_dim]
     ent_ss = np.asarray(state.entity.state_sum)[:model.n_entities]
     np.save(os.path.join(path, prefix + "entity.npy"), ent_emb)
     np.save(os.path.join(path, prefix + "relation.npy"),
-            np.asarray(state.relation.emb))
+            np.asarray(state.relation.emb)[:, :model.relation_dim])
     if state.projection is not None:
         np.save(os.path.join(path, prefix + "projection.npy"),
-                np.asarray(state.projection.emb))
+                np.asarray(state.projection.emb)[:, :model.proj_dim])
     if save_opt_state:
         np.save(os.path.join(path, prefix + "entity_state.npy"), ent_ss)
         np.save(os.path.join(path, prefix + "relation_state.npy"),
@@ -65,7 +67,10 @@ def load_model_state(config: KGEConfig, model: KEModel, path: str
             ss = np.load(state_file)
         else:
             ss = np.zeros((emb.shape[0],), np.float32)
-        return EmbeddingState(emb=jnp.asarray(emb), state_sum=jnp.asarray(ss))
+        # restore the lane-padded layout init_embedding would have chosen
+        from dglke_tpu.ops.embedding import maybe_pad_features
+        return EmbeddingState(emb=maybe_pad_features(jnp.asarray(emb)),
+                              state_sum=jnp.asarray(ss))
 
     entity = load_table("entity")
     relation = load_table("relation")

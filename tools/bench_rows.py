@@ -22,6 +22,9 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
 D = int(sys.argv[2]) if len(sys.argv) > 2 else 400
 E = int(sys.argv[3]) if len(sys.argv) > 3 else 14951
 S = 256
+# Raw Pallas kernels move lane-padded rows (tables store dim 400 as 512;
+# ops/embedding.py pads transparently) — bench the padded width they move.
+DP = -(-D // 128) * 128
 
 
 def fetch(x):
@@ -43,10 +46,12 @@ def timed(name, fn, *args, bytes_per_step=None):
 
 def main():
     key = jax.random.PRNGKey(0)
-    table = jax.random.normal(key, (E, D), jnp.float32)
+    table = jax.random.normal(key, (E, DP), jnp.float32)
     ids0 = jax.random.randint(key, (N,), 0, E, jnp.int32)
-    delta = jax.random.normal(key, (N, D), jnp.float32) * 1e-3
-    row_bytes = N * D * 4
+    delta = jax.random.normal(key, (N, DP), jnp.float32) * 1e-3
+    # logical-width grads for the embedding-layer path (it pads internally)
+    delta_l = delta[:, :D]
+    row_bytes = N * DP * 4
 
     @jax.jit
     def xla_gather(t):
@@ -90,13 +95,13 @@ def main():
         def run(t, ss):
             def body(carry, i):
                 st = sparse_adagrad_update(
-                    EmbeddingState(*carry), (ids0 + i) % E, delta, 0.1)
+                    EmbeddingState(*carry), (ids0 + i) % E, delta_l, 0.1)
                 return (st.emb, st.state_sum), None
             (emb, ss2), _ = lax.scan(body, (t, ss), jnp.arange(S))
             return emb[0, 0] + ss2[0]
         return run
 
-    print(f"device={jax.devices()[0].platform}  N={N} D={D} E={E} S={S}")
+    print(f"device={jax.devices()[0].platform}  N={N} D={D}(pad {DP}) E={E} S={S}")
     timed("XLA gather", xla_gather, table, bytes_per_step=2 * row_bytes)
     timed("Pallas gather", pallas_gather, table,
           bytes_per_step=2 * row_bytes)
