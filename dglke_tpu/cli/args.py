@@ -65,7 +65,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--valid", action="store_true")
     p.add_argument("--rel_part", action="store_true")
     p.add_argument("--async_update", action="store_true",
-                   help="compatibility no-op: XLA pipelining replaces it")
+                   help="defer entity updates one step so the previous "
+                        "batch's scatter overlaps this batch's gather "
+                        "(deterministic version of the reference's async "
+                        "updater process; rows scored one step stale)")
     p.add_argument("--table_sharding", default="replicated",
                    choices=["replicated", "vocab"],
                    help="how embedding tables are laid out over the mesh")

@@ -88,7 +88,10 @@ class KGEConfig:
     # 'vocab' shards entity table rows over the mesh (large vocab).
     table_sharding: str = "replicated"
     mix_cpu_gpu: bool = False  # accepted for config.json parity; unused on TPU
-    async_update: bool = False  # unused: XLA pipelining replaces it
+    async_update: bool = False  # defer entity updates one step (deterministic
+    # equivalent of the reference's async_update process: the previous
+    # batch's entity scatter overlaps this batch's gather; scored rows are
+    # one step stale)
     rel_part: bool = False
     force_sync_interval: int = -1
     num_thread: int = 1

@@ -193,3 +193,24 @@ def test_vocab_sharding_uneven_entity_count(tmp_path):
     path = save_model(cfg, model, state, save_path=str(tmp_path))
     emb = np.load(tmp_path / "synthetic_TransE_l2_entity.npy")
     assert emb.shape[0] == 201                   # persisted unpadded
+
+
+def test_async_update_learns(tiny_ds):
+    """--async_update: deferred entity updates (deterministic analogue of
+    the reference's async updater, train_pytorch.py:42-60).  One step of
+    staleness must not break learning, and the run stays deterministic."""
+    cfg = small_config(async_update=True)
+    _, state1, metrics, _ = _run(cfg, tiny_ds)
+    assert metrics["MRR"] > 0.20, metrics
+    _, state2, _, _ = _run(cfg, tiny_ds)
+    np.testing.assert_array_equal(np.asarray(state1.entity.emb),
+                                  np.asarray(state2.entity.emb))
+
+
+def test_async_update_device_pipeline(tiny_ds):
+    """async_update through the device-resident pipeline on an 8-device
+    mesh keeps quality."""
+    cfg = small_config(async_update=True)
+    plan = ShardingPlan(make_mesh(len(jax.devices())))
+    _, _, metrics, _ = _run(cfg, tiny_ds, plan=plan)
+    assert metrics["MRR"] > 0.20, metrics
