@@ -562,6 +562,29 @@ class KEModel:
                                    neg_head=neg_head)
         return jax.jit(step, static_argnames=("neg_head",))
 
+    def make_eval_superstep(self):
+        """Fused eval: rank a GROUP of batches in ONE device call.
+
+        Per-batch dispatch dominates filtered eval on high-latency links
+        (measured ~350 ms/call over the tunneled test TPU vs ~2 ms of
+        device work at batch 1024); scanning G batches per call amortizes
+        it G-fold.  Inputs are stacked [G, B] ids and [G, B, F] filter
+        lists; returns ranks [G, B].
+        """
+
+        def step(state, h, r, t, filter_ids, filter_mask, neg_head):
+            def body(carry, xs):
+                hh, rr, tt, fi, fm = xs
+                ranks = self.eval_ranks(state, hh, rr, tt, fi, fm,
+                                        neg_head=neg_head)
+                return carry, ranks
+
+            _, ranks = jax.lax.scan(body, None, (h, r, t, filter_ids,
+                                                 filter_mask))
+            return ranks
+
+        return jax.jit(step, static_argnames=("neg_head",))
+
 
 def metrics_from_ranks(ranks: np.ndarray) -> Dict[str, float]:
     """MRR / MR / HITS@{1,3,10} averaged, matching general_models.py:473-485."""

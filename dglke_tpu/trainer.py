@@ -439,23 +439,48 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
         (sampler,) = samplers
         return evaluate_candidates(model, state, sampler, mode="Valid",
                                    log=log)
-    eval_fn = model.make_eval_step()
+    # Fused dispatch: scan groups of G batches per device call — per-call
+    # dispatch latency dominates eval on high-latency links (see
+    # make_eval_superstep).  G bounds the stacked filter arrays' size at
+    # Freebase scale; filter widths are re-padded to the group max.
+    G = 32
+    eval_fn = model.make_eval_superstep()
     all_ranks = []
     start = time.time()
+
+    def flush(group):
+        nb = len(group)
+        if nb == 0:
+            return
+        pad = group + [group[0]] * (G - nb)   # pad group to G: one compile
+        b = len(pad[0]["h"])
+        hs = np.stack([g["h"] for g in pad])
+        rs = np.stack([g["r"] for g in pad])
+        ts = np.stack([g["t"] for g in pad])
+        if "filter_ids" in pad[0]:
+            f = max(g["filter_ids"].shape[1] for g in pad)
+            fid = np.zeros((G, b, f), np.int32)
+            fm = np.zeros((G, b, f), np.float32)
+            for i, g in enumerate(pad):
+                w = g["filter_ids"].shape[1]
+                fid[i, :, :w] = g["filter_ids"]
+                fm[i, :, :w] = g["filter_mask"]
+        else:  # unfiltered: empty filter list (mask 0 everywhere)
+            fid = np.zeros((G, b, 8), np.int32)
+            fm = np.zeros((G, b, 8), np.float32)
+        ranks = np.asarray(eval_fn(state, hs, rs, ts, fid, fm,
+                                   pad[0]["neg_head"]))
+        for i, g in enumerate(group):
+            all_ranks.append(ranks[i][: g["n_valid"]])
+
     for sampler in samplers:
+        group: list = []
         for batch in sampler:
-            if "filter_ids" in batch:
-                ranks = eval_fn(state, batch["h"], batch["r"], batch["t"],
-                                batch["filter_ids"], batch["filter_mask"],
-                                batch["neg_head"])
-            else:
-                # unfiltered: empty filter list (mask 0 everywhere)
-                b = len(batch["h"])
-                fid = np.zeros((b, 8), np.int32)
-                fmask = np.zeros((b, 8), np.float32)
-                ranks = eval_fn(state, batch["h"], batch["r"], batch["t"],
-                                fid, fmask, batch["neg_head"])
-            all_ranks.append(np.asarray(ranks)[: batch["n_valid"]])
+            group.append(batch)
+            if len(group) == G:
+                flush(group)
+                group = []
+        flush(group)
     ranks = np.concatenate(all_ranks)
     metrics = metrics_from_ranks(ranks)
     for k, v in metrics.items():
