@@ -2,7 +2,8 @@
 # One TPU window, maximum data: run checks in priority order, each under
 # its own timeout, appending results to tools/tpu_session.log.  The
 # tunneled test TPU wedges intermittently — a hang in any step must not
-# lose the rest of the window.
+# lose the rest of the window.  NOTE: do not set PYTHONPATH (it breaks
+# the axon plugin registration); run from the repo root instead.
 cd "$(dirname "$0")/.."
 LOG=tools/tpu_session.log
 stamp() { echo "=== $(date -u +%H:%M:%S) $1 ===" >> $LOG; }
@@ -13,37 +14,55 @@ import jax, jax.numpy as jnp, time
 t0=time.time(); x = jnp.ones((512,512)) @ jnp.ones((512,512))
 print('health ok', float(x[0,0]), round(time.time()-t0,1))" >> $LOG 2>&1 || { stamp "health FAILED"; exit 1; }
 
-stamp "pallas gather alone"
-timeout 240 python -c "
-import jax, jax.numpy as jnp, numpy as np
-from dglke_tpu.ops.pallas.rows import gather_rows
-k = jax.random.PRNGKey(0)
-t = jax.random.normal(k, (14951, 400), jnp.float32)
-ids = jax.random.randint(k, (3000,), 0, 14951, jnp.int32)
-out = gather_rows(t, ids)
-ref = t[ids]
-print('gather allclose:', bool(jnp.allclose(out, ref)))" >> $LOG 2>&1 || stamp "gather FAILED/HUNG"
+stamp "bench.py (headline, XLA rows)"
+timeout 500 python bench.py >> $LOG 2>&1 || stamp "bench FAILED/HUNG"
 
-stamp "pallas scatter alone"
-timeout 240 python -c "
-import jax, jax.numpy as jnp, numpy as np
-from dglke_tpu.ops.pallas.rows import scatter_add_rows
-k = jax.random.PRNGKey(0)
-t = jax.random.normal(k, (14951, 400), jnp.float32)
-ids = jax.random.randint(k, (3000,), 0, 14951, jnp.int32)
-d = jax.random.normal(k, (3000, 400), jnp.float32)
-out = scatter_add_rows(t, ids, d)
-ref = t.at[ids].add(d)
-print('scatter allclose:', bool(jnp.allclose(out, ref, atol=1e-5)))" >> $LOG 2>&1 || stamp "scatter FAILED/HUNG"
+stamp "bench_rows (XLA vs experimental Pallas)"
+timeout 420 python -c "
+import sys; sys.path.insert(0, '.')
+sys.argv = ['bench_rows.py']
+import runpy; runpy.run_path('tools/bench_rows.py', run_name='__main__')" >> $LOG 2>&1 || stamp "bench_rows FAILED/HUNG"
 
-stamp "bench_rows"
-timeout 420 python tools/bench_rows.py >> $LOG 2>&1 || stamp "bench_rows FAILED/HUNG"
+stamp "fused filtered eval (FB15k shape)"
+timeout 500 python -c "
+import sys, time; sys.path.insert(0, '.')
+import jax
+from dglke_tpu.config import KGEConfig
+from dglke_tpu.data.dataset import synthetic_dataset
+from dglke_tpu.models.ke_model import KEModel
+from dglke_tpu.trainer import evaluate
+ds = synthetic_dataset(n_entities=14951, n_relations=1345, n_train=483142, n_test=10000, seed=0)
+cfg = KGEConfig(model_name='TransE_l2', hidden_dim=400, gamma=19.9, lr=0.25,
+                batch_size=1000, neg_sample_size=200, batch_size_eval=64)
+model = KEModel(cfg, 14951, 1345)
+state = model.init_state(jax.random.PRNGKey(0))
+evaluate(cfg, ds, model, state, 'test', log=lambda *a: None)
+t0 = time.time(); evaluate(cfg, ds, model, state, 'test', log=lambda *a: None)
+dt = time.time() - t0
+print(f'fused eval: {10000/dt:.0f} edges/s')" >> $LOG 2>&1 || stamp "eval FAILED/HUNG"
 
-stamp "bench.py pallas ON"
-DGLKE_TPU_PALLAS_ROWS=1 timeout 500 python bench.py >> $LOG 2>&1 || stamp "bench ON FAILED/HUNG"
-
-stamp "bench.py pallas OFF"
-DGLKE_TPU_PALLAS_ROWS=0 timeout 500 python bench.py >> $LOG 2>&1 || stamp "bench OFF FAILED/HUNG"
+stamp "large-vocab train (wikikg2 scale)"
+timeout 580 python -c "
+import sys, time; sys.path.insert(0, '.')
+import jax
+from dglke_tpu.config import KGEConfig
+from dglke_tpu.data.dataset import synthetic_dataset
+from dglke_tpu.models.ke_model import KEModel
+from dglke_tpu.trainer import DevicePipeline
+cfg = KGEConfig(model_name='TransE_l2', hidden_dim=200, gamma=19.9, lr=0.25,
+                batch_size=1000, neg_sample_size=200,
+                neg_adversarial_sampling=True, steps_per_call=512)
+ds = synthetic_dataset(n_entities=2_500_604, n_relations=535, n_train=4_096_000, seed=0)
+model = KEModel(cfg, 2_500_604, 535)
+state = model.init_state(jax.random.PRNGKey(0))
+pipe = DevicePipeline(model, ds, cfg.batch_size,
+                      cfg.num_chunks * cfg.neg_sample_size, cfg.steps_per_call, seed=0)
+log = None
+for _ in range(2): state, log = pipe.run_call(state)
+t0 = time.time()
+for _ in range(12): state, log = pipe.run_call(state)
+float(log['loss']); dt = time.time() - t0
+print(f'wikikg2-scale: {12*512*1000/dt/1e6:.2f}M triples/s')" >> $LOG 2>&1 || stamp "large-vocab FAILED/HUNG"
 
 stamp "done"
-tail -40 $LOG
+tail -30 $LOG
