@@ -157,3 +157,86 @@ def test_convert_cli(tmp_path):
     assert rc == 0
     out = open(os.path.join(d, "train_id.tsv")).read().strip().split("\n")
     assert out[0] == "0\t0\t1"
+
+
+@pytest.fixture(scope="module")
+def fake_udd_pipe(tmp_path_factory):
+    """udd_hrt layout with '|' delimiter (reference task_kg_test.sh:96-104
+    exercises udd + non-tab delimiters as full CLI pipelines)."""
+    d = str(tmp_path_factory.mktemp("fake_udd_pipe"))
+    rng = np.random.RandomState(1)
+    with open(os.path.join(d, "e.tsv"), "w") as f:
+        f.write("".join(f"e{i}|{i}\n" for i in range(30)))
+    with open(os.path.join(d, "r.tsv"), "w") as f:
+        f.write("".join(f"r{i}|{i}\n" for i in range(3)))
+    def triples(n):
+        return "".join(
+            f"{rng.randint(30)}|{rng.randint(3)}|{rng.randint(30)}\n"
+            for _ in range(n))
+    for name, n in (("train.tsv", 300), ("valid.tsv", 30), ("test.tsv", 30)):
+        with open(os.path.join(d, name), "w") as f:
+            f.write(triples(n))
+    return d
+
+
+def test_udd_delimiter_train_eval_cli(fake_udd_pipe, tmp_path, capsys):
+    from dglke_tpu.cli.train import main as train_main
+    from dglke_tpu.cli.eval import main as eval_main
+    save_root = str(tmp_path / "ckpts")
+    common = [
+        "--dataset", "uddkg", "--data_path", fake_udd_pipe,
+        "--format", "udd_hrt", "--delimiter", "|",
+        "--data_files", "e.tsv", "r.tsv", "train.tsv", "valid.tsv",
+        "test.tsv",
+    ]
+    rc = train_main([
+        "--model_name", "DistMult", "--batch_size", "32",
+        "--neg_sample_size", "8", "--hidden_dim", "8", "--gamma", "10.0",
+        "--lr", "0.2", "--max_step", "50", "--log_interval", "50",
+        "--batch_size_eval", "8", "--save_path", save_root,
+    ] + common)
+    assert rc == 0
+    ckpt = os.path.join(save_root, "DistMult_uddkg_0")
+    rc = eval_main(["--model_path", ckpt] + common)
+    assert rc == 0
+    assert "Test average MRR" in capsys.readouterr().out
+
+
+@pytest.mark.parametrize("mode", ["batch_head", "batch_rel", "batch_tail",
+                                  "triplet_wise"])
+def test_predict_cli_exec_modes(fake_data, trained_ckpt, tmp_path, mode):
+    from dglke_tpu.cli.predict import main as predict_main
+    head_f = str(tmp_path / "h.list")
+    rel_f = str(tmp_path / "r.list")
+    tail_f = str(tmp_path / "t.list")
+    for p, ids in ((head_f, "1\n2\n"), (rel_f, "0\n1\n"),
+                   (tail_f, "3\n4\n")):
+        with open(p, "w") as f:
+            f.write(ids)
+    out_f = str(tmp_path / f"result_{mode}.tsv")
+    rc = predict_main([
+        "--model_path", trained_ckpt, "--format", "h_r_t",
+        "--data_files", head_f, rel_f, tail_f,
+        "--exec_mode", mode, "--topK", "2", "--output", out_f,
+    ])
+    assert rc == 0
+    lines = open(out_f).read().strip().split("\n")
+    assert lines[0] == "head\trel\ttail\tscore"
+    assert len(lines) > 1
+
+
+@pytest.mark.parametrize("sfunc", ["l2", "l1", "dot", "ext_jaccard"])
+def test_emb_sim_cli_sim_funcs(trained_ckpt, tmp_path, sfunc):
+    from dglke_tpu.cli.emb_sim import main as emb_sim_main
+    emb_file = os.path.join(trained_ckpt, "fakekg_TransE_l2_entity.npy")
+    left_f = str(tmp_path / "l.list")
+    with open(left_f, "w") as f:
+        f.write("0\n1\n")
+    out_f = str(tmp_path / f"sim_{sfunc}.tsv")
+    rc = emb_sim_main([
+        "--emb_file", emb_file, "--format", "l_*", "--data_files", left_f,
+        "--sim_func", sfunc, "--topK", "3", "--output", out_f,
+        "--exec_mode", "batch_left",
+    ])
+    assert rc == 0
+    assert len(open(out_f).read().strip().split("\n")) == 1 + 2 * 3
