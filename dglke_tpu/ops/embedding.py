@@ -33,12 +33,13 @@ _PALLAS_MODE = "auto"
 
 
 def set_pallas_rows(mode: str) -> None:
-    """Select the row-movement backend: "auto" (Pallas on TPU), "on", "off".
+    """Select the row-movement backend: "auto" (= XLA; see
+    _pallas_rows_enabled), "on" (experimental Pallas row DMA), "off".
 
     ShardingPlan(table_sharding="vocab") forces "off": a pallas_call is an
     opaque custom call to the SPMD partitioner, so the vocab-sharded path
     must keep XLA gather/scatter (which partition cleanly into
-    all-to-alls).  Single-device / replicated-table runs keep "auto".
+    all-to-alls).
     """
     global _PALLAS_MODE
     assert mode in ("auto", "on", "off"), mode
@@ -48,12 +49,12 @@ def set_pallas_rows(mode: str) -> None:
 def _pallas_rows_enabled() -> bool:
     """Pallas row kernels: EXPERIMENTAL, default off.
 
-    Measured on a v5e (tools/bench_rows.py, N=3000 D=512): XLA's own row
-    movement is already at the scattered-row issue-rate floor (~50 ns/row;
-    gather 78 GB/s, scatter-add 78 GB/s) and the per-row-DMA kernels run at
-    ~60-120 ns/row — XLA wins at every shape tried (E=15k..1M, D=512..2048
-    except a slight scatter win at D=2048).  Kept behind
-    DGLKE_TPU_PALLAS_ROWS=1 / set_pallas_rows("on") for experimentation."""
+    Measured on a v5e (tools/bench_rows.py, N=3000 D=512, overhead-
+    corrected): XLA's scattered-row movement runs near HBM bandwidth
+    (gather 231 GB/s, scatter-add 142 GB/s) while the per-row-DMA kernels
+    are issue-bound at ~60-90 ns/row — XLA wins at every shape tried
+    (E=15k..1M, D=512..2048).  Kept behind DGLKE_TPU_PALLAS_ROWS=1 /
+    set_pallas_rows("on") for experimentation."""
     env = os.environ.get("DGLKE_TPU_PALLAS_ROWS", "")
     if env in ("0", "false"):
         return False

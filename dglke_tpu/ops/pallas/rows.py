@@ -8,10 +8,11 @@ index kernels in the reference
 (/root/reference/python/dglke/models/pytorch/tensor_models.py:270-302,
 304-362 — `ExternalEmbedding.__call__` / `.update`).
 
-Measured reality on a v5e (tools/bench_rows.py): scattered-row movement is
-DMA *issue-rate* bound, not bandwidth bound — both XLA's lowering (~50
-ns/row) and these kernels (~60-120 ns/row) hit that floor, and deeper rings
-/ bulk semaphore waits / staged chunked writes do not move it (all tried).
+Measured reality on a v5e (tools/bench_rows.py, overhead-corrected): XLA's
+scattered-row lowering runs near HBM bandwidth (gather 231 GB/s), while
+per-row DMA is issue-rate bound at ~60-90 ns/row; deeper rings, bulk
+semaphore waits, and staged chunked writes do not close the gap (all
+tried).
 XLA therefore remains the default row path (`ops/embedding.py`
 `_pallas_rows_enabled`); these kernels are kept for experimentation on
 other TPU generations.  Caveats when enabling: tables must be lane-padded

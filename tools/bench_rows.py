@@ -21,7 +21,7 @@ from jax import lax
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
 D = int(sys.argv[2]) if len(sys.argv) > 2 else 400
 E = int(sys.argv[3]) if len(sys.argv) > 3 else 14951
-S = 256
+S = 2048  # the tunneled link adds ~40ms per device call; big S amortizes it
 # Raw Pallas kernels move lane-padded rows (tables store dim 400 as 512;
 # ops/embedding.py pads transparently) — bench the padded width they move.
 DP = -(-D // 128) * 128
