@@ -214,3 +214,16 @@ def test_async_update_device_pipeline(tiny_ds):
     plan = ShardingPlan(make_mesh(len(jax.devices())))
     _, _, metrics, _ = _run(cfg, tiny_ds, plan=plan)
     assert metrics["MRR"] > 0.20, metrics
+
+
+def test_unfiltered_eval_and_eval_percent(tiny_ds):
+    """--no_eval_filter raw ranks (>= filtered ranks on average) and
+    eval_percent subsetting both flow through the fused eval dispatch."""
+    cfg = small_config(max_step=200)
+    model, state, filt, _ = _run(cfg, tiny_ds)
+    raw = evaluate(small_config(max_step=200, no_eval_filter=True),
+                   tiny_ds, model, state, "test", log=lambda *a: None)
+    assert raw["MR"] >= filt["MR"] - 1e-6          # filtering only helps
+    sub = evaluate(small_config(max_step=200, eval_percent=0.3),
+                   tiny_ds, model, state, "test", log=lambda *a: None)
+    assert 0.0 < sub["MRR"] <= 1.0
