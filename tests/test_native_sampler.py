@@ -1,0 +1,74 @@
+"""Native C++ superbatch sampler invariants: packed layout, epoch coverage
+without replacement, and negative-id ranges (semantics contract shared with
+the Python SuperbatchSampler; RNG streams differ by design)."""
+
+import numpy as np
+import pytest
+
+from dglke_tpu.data import native
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def make_sampler(n_edges=1024, n_entities=50, batch=32, neg=16, s=8, seed=3):
+    rng = np.random.RandomState(0)
+    h = rng.randint(0, n_entities, n_edges).astype(np.int32)
+    r = rng.randint(0, 7, n_edges).astype(np.int32)
+    t = rng.randint(0, n_entities, n_edges).astype(np.int32)
+    samp = native.NativeSuperbatchSampler(h, r, t, n_entities, batch, neg, s,
+                                          seed=seed)
+    return samp, (h, r, t)
+
+
+def test_packed_layout_and_ranges():
+    batch, neg, s = 32, 16, 8
+    samp, (h, r, t) = make_sampler(batch=batch, neg=neg, s=s)
+    b0 = next(iter(samp))
+    packed, impts = b0["packed"], b0["impts"]
+    assert impts is None
+    assert packed.shape == (s, 3 * batch + neg)
+    assert packed.dtype == np.int32
+    hh = packed[:, :batch]
+    rr = packed[:, batch:2 * batch]
+    tt = packed[:, 2 * batch:3 * batch]
+    nn = packed[:, 3 * batch:]
+    assert rr.min() >= 0 and rr.max() < 7
+    assert hh.min() >= 0 and hh.max() < 50
+    assert nn.min() >= 0 and nn.max() < 50
+    # every packed positive is a real edge
+    key = (h.astype(np.int64) * 7 + r) * 50 + t
+    got = (hh.astype(np.int64) * 7 + rr) * 50 + tt
+    assert np.isin(got.ravel(), key).all()
+
+
+def test_epoch_without_replacement():
+    n_edges, batch, s = 1024, 32, 8
+    samp, (h, r, t) = make_sampler(n_edges=n_edges, batch=batch, s=s)
+    per_call = s * batch
+    calls_per_epoch = n_edges // per_call
+    seen = []
+    it = iter(samp)
+    for _ in range(calls_per_epoch):
+        packed = next(it)["packed"]
+        hh = packed[:, :batch].ravel()
+        rr = packed[:, batch:2 * batch].ravel()
+        tt = packed[:, 2 * batch:3 * batch].ravel()
+        seen.append((hh.astype(np.int64) * 7 + rr) * 50 + tt)
+    seen = np.concatenate(seen)
+    key = (h.astype(np.int64) * 7 + r) * 50 + t
+    # one full epoch = every edge exactly as often as it appears in the data
+    assert len(seen) == n_edges
+    np.testing.assert_array_equal(np.sort(seen), np.sort(key))
+
+
+def test_seed_determinism():
+    a, _ = make_sampler(seed=11)
+    b, _ = make_sampler(seed=11)
+    pa = next(iter(a))["packed"]
+    pb = next(iter(b))["packed"]
+    np.testing.assert_array_equal(pa, pb)
+    c, _ = make_sampler(seed=12)
+    pc = next(iter(c))["packed"]
+    assert not np.array_equal(pa, pc)
