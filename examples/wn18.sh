@@ -36,3 +36,12 @@ dglke_tpu-train --model_name TransR --dataset wn18 --batch_size 1024 --log_inter
 dglke_tpu-train --model_name RotatE --dataset wn18 --batch_size 2048 --log_interval 1000 \
   --neg_sample_size 64 --regularization_coef 2e-07 --hidden_dim 256 --gamma 9.0 \
   --lr 0.0025 -de --batch_size_eval 16 --neg_deg_sample --test -adv --max_step 24000
+
+# Weighted wn18 (edge-importance column; reference
+# examples/wn18_weighted/README.md) — 4th numeric column per triple scales
+# that edge's loss term.
+dglke_tpu-train --model_name TransE_l1 --dataset wn18-weight --format raw_udd_hrt \
+  --data_files train_weight.txt valid_weight.txt test_weight.txt \
+  --data_path ./data/wn18_weighted/ --batch_size 2048 --log_interval 1000 \
+  --neg_sample_size 128 --regularization_coef 2e-07 --hidden_dim 512 --gamma 12.0 \
+  --lr 0.007 --batch_size_eval 16 --test -adv --max_step 32000 --has_edge_importance
