@@ -174,11 +174,21 @@ class KEModel:
             else:
                 sh, st_, sr, sn, sp = (h_rows, t_rows, rel_rows, neg_rows,
                                        proj_rows)
-            pos, negs, _ = self._pos_neg_scores(
-                (sh, st_), sr, sn, sp,
-                neg_head=neg_head, num_chunks=num_chunks,
-                chunk_size=chunk_size, neg_sample_size=neg_sample_size,
-                neg_deg_sample=cfg.neg_deg_sample)
+            def scores(rows, rel, negr, proj):
+                return self._pos_neg_scores(
+                    rows, rel, negr, proj,
+                    neg_head=neg_head, num_chunks=num_chunks,
+                    chunk_size=chunk_size, neg_sample_size=neg_sample_size,
+                    neg_deg_sample=cfg.neg_deg_sample)
+
+            if self.score_fn.name == "RotatE":
+                # RotatE's backward otherwise saves ~0.5 GB of [C,Bc,K,D/2]
+                # residuals (re/im diffs + per-pair modulus) to HBM;
+                # recomputing them is cheaper (measured -19%/step on a v5e).
+                # Not applied to other models: L1 is neutral, TransR's
+                # projection einsums cost more to recompute than to save.
+                scores = jax.checkpoint(scores)
+            pos, negs, _ = scores((sh, st_), sr, sn, sp)
             pos = pos.astype(jnp.float32)
             negs = negs.astype(jnp.float32)
             loss, log = self.loss_gen.get_total_loss(pos, negs, impts)
