@@ -51,7 +51,12 @@ def main():
             state, log = pipe.run_call(state)
         return float(log["loss"])  # host fetch = completion fence
 
-    run(2)  # warmup/compile
+    # Warm one full epoch + 1: compiles BOTH jit variants (the straddling
+    # call that regenerates the next epoch's permutation is a second
+    # specialization — without this the 20s+ tunnel compile lands inside
+    # the timed window).
+    import math
+    run(math.ceil(4_096_000 / (cfg.steps_per_call * cfg.batch_size)) + 1)
     s = cfg.steps_per_call
     n_calls = 24
     t0 = time.time()

@@ -106,14 +106,29 @@ class KEModel:
             h_proj = sf.project(h_rows, proj_rows)
             t_proj = sf.project(t_rows, proj_rows)
             pos = sf.pos_score(h_proj, rel_rows, t_proj)
-            # negatives: project each neg row against all chunk relations
+            k = neg_sample_size
+            if neg_deg_sample:
+                # Degree-based negatives are model-agnostic in the reference
+                # (built in the neg-graph sampler): prepend the chunk's own
+                # RAW side entities to the raw negatives before projection;
+                # the self-match diagonal is masked below.
+                own = (h_rows if neg_head else t_rows).reshape(
+                    num_chunks, chunk_size, -1)
+                extra = neg_rows.reshape(num_chunks, neg_sample_size, -1)
+                neg_rows = jnp.concatenate([own, extra], axis=1).reshape(
+                    num_chunks * (chunk_size + neg_sample_size), -1)
+                k = chunk_size + neg_sample_size
+            # project each neg row against all chunk relations
             neg_proj = sf.neg_project(neg_rows, proj_rows, num_chunks)
             side = t_proj if neg_head else h_proj
             side = side.reshape(num_chunks, chunk_size, self.relation_dim)
             neg = sf.neg_score(side, rel_rows, neg_proj, neg_head=neg_head,
                                num_chunks=num_chunks, chunk_size=chunk_size,
-                               neg_sample_size=neg_sample_size)
-            return pos, neg.reshape(-1, neg_sample_size), neg_sample_size
+                               neg_sample_size=k)
+            if neg_deg_sample:
+                eye = jnp.eye(chunk_size, k, dtype=neg.dtype)
+                neg = neg * (1.0 - eye)[None, :, :]
+            return pos, neg.reshape(-1, k), k
 
         pos = sf.pos_score(h_rows, rel_rows, t_rows)
         side = t_rows if neg_head else h_rows
@@ -362,29 +377,36 @@ class KEModel:
         Arguments of the returned fn (built for minimum host round-trips —
         on a tunneled chip every dependent device call costs a full RTT, so
         the ONLY per-call device work is this one fused call):
-          state, triples ([3, E] int32, device-resident), perm ([E] int32
-          epoch permutation, device-resident), pos/epoch/call_idx (int32
-          scalars; tiny argument upload), base_key.
-        When the static flag refresh_perm is True the call first regenerates
-        the epoch permutation ON DEVICE from fold_in(base_key, epoch) and
-        returns it; negatives derive from fold_in(base_key, call_idx).
-        Shuffled epochs without replacement — the reference sampler's exact
-        semantics — with corruption sides alternating per step.
-        Returns ((state, perm), logs).
+          state, triples ([3, E] int32, device-resident), cur/nxt ([E]
+          int32 epoch permutations, device-resident), pos/epoch/call_idx
+          (int32 scalars; tiny argument upload), base_key.
+        Batches may STRADDLE an epoch boundary: positions past the end of
+        `cur` continue into `nxt` (the next epoch's permutation), so no
+        tail edge is ever dropped — the reference sampler's exact
+        without-replacement semantics.  When the static flag refresh_next
+        is True (the straddling call) `nxt` is first regenerated ON DEVICE
+        from fold_in(base_key, epoch + 1); negatives derive from
+        fold_in(base_key, call_idx).  Corruption sides alternate per step.
+        Returns ((state, nxt), logs); the host swaps cur/nxt when pos
+        wraps.
         """
         assert steps_per_call % 2 == 0
         b = batch_size
         s = steps_per_call
         use_async = self.config.async_update
 
-        def call(state, triples, perm, pos, epoch, call_idx, base_key,
-                 refresh_perm):
-            if refresh_perm:
-                ekey = jax.random.fold_in(base_key, epoch)
-                perm = jax.random.permutation(ekey, n_edges).astype(
-                    jnp.int32)
+        def call(state, triples, cur, nxt, pos, epoch, call_idx, base_key,
+                 refresh_next):
+            if refresh_next:
+                ekey = jax.random.fold_in(base_key, epoch + 1)
+                nxt = jax.random.permutation(ekey, n_edges).astype(jnp.int32)
             key = jax.random.fold_in(base_key, call_idx)
-            idx = jax.lax.dynamic_slice(perm, (pos,), (s * b,))
+            # One dynamic_slice over [cur | nxt]: straddling reads continue
+            # into the next epoch's permutation.  The concat is one
+            # bandwidth pass (amortized over s steps); an elementwise
+            # two-gather select here measured 45 ms/call on a v5e.
+            both = jnp.concatenate([cur, nxt])
+            idx = jax.lax.dynamic_slice(both, (pos,), (s * b,))
             idx = idx.reshape(s // 2, 2, b)
             keys = jax.random.split(key, (s // 2, 2))
 
@@ -425,10 +447,10 @@ class KEModel:
                                                   (idx, keys))
             if use_async:
                 state = self.flush_async(state, pending)
-            return (state, perm), {k: jnp.mean(v) for k, v in logs.items()}
+            return (state, nxt), {k: jnp.mean(v) for k, v in logs.items()}
 
-        return jax.jit(call, static_argnames=("refresh_perm",),
-                       donate_argnums=(0, 2) if donate else ())
+        return jax.jit(call, static_argnames=("refresh_next",),
+                       donate_argnums=(0, 3) if donate else ())
 
     # -- evaluation ----------------------------------------------------------
 
@@ -534,37 +556,25 @@ class KEModel:
                          num_chunks=b, chunk_size=1, neg_sample_size=k)
         return s.reshape(b, k)
 
-    def make_candidate_eval_step(self, top: int = 10):
+    def make_candidate_eval_step(self, top: int = 10,
+                                 with_scores: bool = True,
+                                 with_top: bool = True):
         """Returns jitted fn(state, query [B,2], cand [B,K]) ->
-        (ranks-of-each-candidate-position [B,K] argsort desc, scores)."""
+        (scores [B,K] or None, top-`top` candidate positions or None).
+
+        Valid mode only needs the scores (rank of the answer); Test mode
+        only needs the top-k argsort — gating both avoids a [B,K] fp32
+        fetch per batch in Test mode and a device argsort in Valid mode.
+        """
 
         def step(state, query, cand):
             scores = self.candidate_scores(state, query[:, 0], query[:, 1],
                                            cand, neg_head=False)
-            top_idx = jnp.argsort(-scores, axis=1)[:, :top]
-            return scores, top_idx
+            top_idx = (jnp.argsort(-scores, axis=1)[:, :top]
+                       if with_top else None)
+            return (scores if with_scores else None), top_idx
 
         return jax.jit(step)
-
-    def eval_ranks_sampled(self, state: TrainState, h, r, t, cand_ids, *,
-                           neg_head: bool):
-        """Unfiltered rank against a candidate list [B, K]
-        (wikikg90M-style / --no_eval_filter with sampled negatives)."""
-        sf = self.score_fn
-        b = h.shape[0]
-        h_rows = gather_rows(state.entity, h, dim=self.entity_dim)
-        t_rows = gather_rows(state.entity, t, dim=self.entity_dim)
-        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
-        pos = sf.pos_score(h_rows, rel_rows, t_rows)
-        k = cand_ids.shape[1]
-        cand = gather_rows(state.entity, cand_ids.reshape(-1),
-                           dim=self.entity_dim)
-        side = t_rows if neg_head else h_rows
-        # one chunk per row: [B, 1, K]
-        s = sf.neg_score(side, rel_rows, cand, neg_head=neg_head,
-                         num_chunks=b, chunk_size=1, neg_sample_size=k)
-        s = s.reshape(b, k)
-        return jnp.sum(s >= pos[:, None], axis=1) + 1
 
     def make_eval_step(self):
         def step(state, h, r, t, filter_ids, filter_mask, neg_head):

@@ -55,6 +55,11 @@ def _pallas_rows_enabled() -> bool:
     are issue-bound at ~60-90 ns/row — XLA wins at every shape tried
     (E=15k..1M, D=512..2048).  Kept behind DGLKE_TPU_PALLAS_ROWS=1 /
     set_pallas_rows("on") for experimentation."""
+    # Precedence: an explicit set_pallas_rows("off") (the vocab-sharding
+    # invariant — pallas_call is opaque to the SPMD partitioner) outranks
+    # the env override; the env then decides for the remaining modes.
+    if _PALLAS_MODE == "off":
+        return False
     env = os.environ.get("DGLKE_TPU_PALLAS_ROWS", "")
     if env in ("0", "false"):
         return False

@@ -50,6 +50,9 @@ class Prefetcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    _END = object()  # end-of-stream sentinel: a finite feeder must not
+    # leave the consumer blocked forever in q.get()
+
     def _worker(self):
         try:
             for batch in self._it:
@@ -62,11 +65,14 @@ class Prefetcher:
                         continue
                 if self._stop:
                     return
+            self._q.put(self._END)
         except Exception as e:  # surface errors to the consumer
             self._q.put(e)
 
     def __next__(self):
         item = self._q.get()
+        if item is self._END:
+            raise StopIteration
         if isinstance(item, Exception):
             raise item
         return item if self._stage_in_worker else self._put(item)
@@ -347,29 +353,41 @@ class DevicePipeline:
             key = jax.random.key(seed, impl="rbg")
         except Exception:
             key = jax.random.PRNGKey(seed)
-        perm = np.arange(self.n_edges, dtype=np.int32)
         if self._rep is not None:
             self.base_key = jax.device_put(key, self._rep)
-            # placeholder; the first call regenerates it on device
-            self.perm = jax.device_put(perm, self._rep)
         else:
             self.base_key = jax.device_put(key)
-            self.perm = jax.device_put(perm)
-        self.pos = self.n_edges  # force refresh on first call
-        self.epoch = -1
+        # Two epoch permutations (current + next): batches may straddle the
+        # epoch boundary, so no tail edge is dropped (exact
+        # without-replacement epochs).  cur = epoch 0's shuffle, generated
+        # on device; nxt starts as a placeholder — the first straddling
+        # call regenerates it before any straddled index reads it.
+        gen = jax.jit(
+            lambda k, e: jax.random.permutation(
+                jax.random.fold_in(k, e), self.n_edges).astype(np.int32),
+            static_argnums=(1,),
+            out_shardings=self._rep if self._rep is not None else None)
+        self.cur = gen(self.base_key, 0)
+        self.nxt = gen(self.base_key, 1)  # distinct buffer: nxt is donated
+        self.pos = 0
+        self.epoch = 0
         self.call_idx = 0
 
     def run_call(self, state):
-        refresh = self.pos + self.s * self.b > self.n_edges
-        if refresh:
-            self.epoch += 1
-            self.pos = 0
-        (state, self.perm), logs = self.step_fn(
-            state, self.triples, self.perm,
+        # >= : at an exact boundary nothing straddles, but nxt must still be
+        # regenerated before the rotation below swaps it in as cur
+        refresh = self.pos + self.s * self.b >= self.n_edges
+        (state, self.nxt), logs = self.step_fn(
+            state, self.triples, self.cur, self.nxt,
             np.int32(self.pos), np.int32(self.epoch),
             np.int32(self.call_idx), self.base_key,
-            refresh_perm=refresh)
+            refresh_next=refresh)
         self.pos += self.s * self.b
+        if self.pos >= self.n_edges:
+            # the straddling call regenerated nxt (epoch+1); rotate it in
+            self.pos -= self.n_edges
+            self.epoch += 1
+            self.cur, self.nxt = self.nxt, self.cur
         self.call_idx += 1
         return state, logs
 
@@ -404,14 +422,19 @@ def evaluate_candidates(model: KEModel, state: TrainState,
     top-10 predictions (reference train_pytorch.py:208-234)."""
     import pickle
 
-    eval_fn = model.make_candidate_eval_step()
+    eval_fn = model.make_candidate_eval_step(
+        with_scores=(mode == "Valid"), with_top=(mode != "Valid"))
     all_ranks, all_top10, all_ans = [], [], []
     for query, ans, cand in sampler:
         scores, top10 = eval_fn(state, query, cand)
-        scores = np.asarray(scores)
         if mode == "Valid":
+            scores = np.asarray(scores)
             pos = scores[np.arange(len(query)), ans]
-            ranks = (scores >= pos[:, None]).sum(axis=1)
+            # The reference's ranking counts the answer itself among the
+            # ties (sum(neg >= neg[ans]) + 1, min rank 2 —
+            # general_models.py:504); reproduced exactly so wikikg90M
+            # metrics are comparable with its published numbers.
+            ranks = (scores >= pos[:, None]).sum(axis=1) + 1
             all_ranks.append(ranks)
         else:
             all_top10.append(np.asarray(top10))

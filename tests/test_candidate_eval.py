@@ -46,8 +46,10 @@ def test_candidate_valid_metrics():
         ent[hr[i, 0]] + rel[hr[i, 1]] - ent[cand[i, j]])
         for j in range(cand.shape[1])] for i in range(len(hr))])
     pos = scores[np.arange(len(hr)), ans]
-    ranks = (scores >= pos[:, None] - 1e-5).sum(axis=1)
-    want_mr_low = (scores >= pos[:, None] + 1e-5).sum(axis=1).mean()
+    # the reference's ranking self-counts the answer among the ties
+    # (sum(neg >= neg[ans]) + 1, min rank 2 — general_models.py:504)
+    ranks = (scores >= pos[:, None] - 1e-5).sum(axis=1) + 1
+    want_mr_low = ((scores >= pos[:, None] + 1e-5).sum(axis=1) + 1).mean()
     assert want_mr_low <= metrics["MR"] <= ranks.mean() + 1e-6
 
 

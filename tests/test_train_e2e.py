@@ -227,3 +227,13 @@ def test_unfiltered_eval_and_eval_percent(tiny_ds):
     sub = evaluate(small_config(max_step=200, eval_percent=0.3),
                    tiny_ds, model, state, "test", log=lambda *a: None)
     assert 0.0 < sub["MRR"] <= 1.0
+
+
+def test_transr_neg_deg_sample(tiny_ds):
+    """TransR + neg_deg_sample: own-node extras are projected like the
+    sampled negatives and the self-match diagonal is masked (previously
+    silently ignored for TransR)."""
+    cfg = small_config(model_name="TransR", hidden_dim=16,
+                       neg_deg_sample=True, max_step=60)
+    model, state, metrics, _ = _run(cfg, tiny_ds)
+    assert np.isfinite(metrics["MRR"]) and metrics["MRR"] > 0.0
