@@ -84,6 +84,12 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                    help="resume training from a saved checkpoint directory "
                         "(tables + Adagrad state + step; the reference "
                         "cannot resume — train_pytorch.py:101-102)")
+    p.add_argument("--sharded_ckpt", action="store_true",
+                   help="save a sharded (orbax) checkpoint instead of the "
+                        "replicated npy artifacts: each host writes its own "
+                        "table shards — required at Freebase scale where "
+                        "the full table cannot fit one host. --init_from "
+                        "auto-detects it.")
     p.add_argument("--profile", type=str, default=None,
                    help="capture a jax.profiler trace of steady-state steps "
                         "into this directory")

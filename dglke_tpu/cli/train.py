@@ -71,10 +71,19 @@ def main(argv=None):
     model = KEModel(cfg, dataset.n_entities, dataset.n_relations)
     state = None
     if args.init_from:
-        from dglke_tpu.utils.io import load_model_state
-        state = load_model_state(cfg, model, args.init_from)
-        if plan is not None:
-            state = plan.put_state(state)
+        from dglke_tpu.utils.io import has_sharded, load_model_state, \
+            load_sharded
+        if has_sharded(args.init_from):
+            # sharded (orbax) checkpoint: restore directly into the fresh
+            # state's layout — the full table never exists on one host
+            template = model.init_state(jax.random.PRNGKey(cfg.seed))
+            if plan is not None:
+                template = plan.put_state(template)
+            state = load_sharded(template, args.init_from)
+        else:
+            state = load_model_state(cfg, model, args.init_from)
+            if plan is not None:
+                state = plan.put_state(state)
         print(f"Resumed from {args.init_from} at step "
               f"{int(state.step)}")
     print(f"Init takes {time.time() - init_start:.3f} seconds")
@@ -102,7 +111,16 @@ def main(argv=None):
                                profile_dir=args.profile)
 
     if not cfg.no_save_emb:
-        if jax.process_count() > 1:
+        if args.sharded_ckpt:
+            # each host writes its own table shards (orbax OCDBT); the full
+            # table is never replicated anywhere — the only feasible save
+            # at Freebase scale.  config.json still written for tooling.
+            from dglke_tpu.utils.io import save_sharded
+            save_sharded(state, cfg.save_path)
+            if jax.process_index() == 0:
+                cfg.save(cfg.save_path, dataset.emap_fname,
+                         dataset.rmap_fname)
+        elif jax.process_count() > 1:
             # Gather the sharded tables so rank 0 can persist them (the
             # reference's machine-0 100-slice pull, train_pytorch.py:282-335,
             # collapses into one replicating jit).

@@ -95,3 +95,52 @@ def load_config(path: str) -> KGEConfig:
 def load_config_json(path: str) -> dict:
     with open(os.path.join(path, "config.json")) as f:
         return json.load(f)
+
+
+# -- sharded checkpointing (orbax) -------------------------------------------
+#
+# The npy artifact contract above replicates tables to host memory — fine for
+# benchmark graphs, impossible for Freebase-scale vocab-sharded tables
+# (86M x 400 fp32 = 137 GB).  The sharded path writes each host's table
+# shards directly (orbax OCDBT), never materializing the full table
+# anywhere, and restores onto the SAME mesh/sharding layout.  The reference
+# has no equivalent (its kvservers only ever persist via the machine-0 pull,
+# train_pytorch.py:282-335).
+
+SHARDED_DIRNAME = "sharded_state"
+
+
+def save_sharded(state: TrainState, path: str) -> str:
+    """Write a sharded TrainState checkpoint under path/sharded_state.
+
+    Collective: every process must call this (each writes its own shards).
+    """
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(os.path.join(path, SHARDED_DIRNAME))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(ckpt_dir, state, force=True)
+    return ckpt_dir
+
+
+def has_sharded(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, SHARDED_DIRNAME))
+
+
+def load_sharded(template_state: TrainState, path: str) -> TrainState:
+    """Restore a sharded TrainState into `template_state`'s exact layout
+    (shapes incl. mesh/lane padding, dtypes, shardings).
+
+    Collective: every process must call this.  Callers pass a freshly
+    initialized (and plan.put_state-sharded) state — exactly what resume
+    builds anyway — so every padding/sharding decision is reproduced
+    rather than reconstructed.
+    """
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(os.path.join(path, SHARDED_DIRNAME))
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        template_state)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(ckpt_dir, abstract)
