@@ -84,6 +84,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                    help="resume training from a saved checkpoint directory "
                         "(tables + Adagrad state + step; the reference "
                         "cannot resume — train_pytorch.py:101-102)")
+    p.add_argument("--save_interval", type=int, default=-1,
+                   help="checkpoint every N steps during training "
+                        "(fault tolerance for long runs; -1 = only at the "
+                        "end). Works with --sharded_ckpt.")
     p.add_argument("--sharded_ckpt", action="store_true",
                    help="save a sharded (orbax) checkpoint instead of the "
                         "replicated npy artifacts: each host writes its own "

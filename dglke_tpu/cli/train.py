@@ -106,9 +106,25 @@ def main(argv=None):
         ]
     cfg = dataclasses.replace(cfg, valid=args.valid)
 
+    save_fn = None
+    if cfg.save_interval > 0 and not cfg.no_save_emb:
+        def save_fn(st, step):
+            # periodic fault-tolerance checkpoint, overwritten in place;
+            # resume with --init_from <save_path>
+            if args.sharded_ckpt:
+                from dglke_tpu.utils.io import save_sharded
+                save_sharded(st, cfg.save_path)
+                if jax.process_index() == 0:
+                    cfg.save(cfg.save_path, dataset.emap_fname,
+                             dataset.rmap_fname)
+            elif jax.process_count() == 1:
+                save_model(cfg, model, st, emap_file=dataset.emap_fname,
+                           rmap_file=dataset.rmap_fname)
+            print(f"[proc 0]checkpoint at step {step} -> {cfg.save_path}")
+
     model, state, info = train(cfg, dataset, model=model, state=state,
                                plan=plan, valid_samplers=valid_samplers,
-                               profile_dir=args.profile)
+                               profile_dir=args.profile, save_fn=save_fn)
 
     if not cfg.no_save_emb:
         if args.sharded_ckpt:

@@ -72,6 +72,7 @@ class KGEConfig:
     neg_deg_sample_eval: bool = False
     eval_percent: float = 1.0
     no_eval_filter: bool = False
+    save_interval: int = -1  # checkpoint every N steps (-1: only at end)
     valid: bool = False
     test: bool = False
     eval_interval: int = 10000

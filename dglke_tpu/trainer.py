@@ -120,6 +120,7 @@ def train(config: KGEConfig, dataset: KGDataset,
           plan: Optional[ShardingPlan] = None,
           valid_samplers: Optional[list] = None,
           profile_dir: Optional[str] = None,
+          save_fn=None,
           log=print) -> tuple:
     """Run the training loop; returns (model, state, time_info).
 
@@ -160,6 +161,8 @@ def train(config: KGEConfig, dataset: KGDataset,
     if s > 1:
         for interval in (cfg.log_interval,
                          cfg.eval_interval if cfg.valid else None,
+                         cfg.save_interval if cfg.save_interval > 0
+                         else None,
                          cfg.max_step):
             if interval:
                 while s > 2 and interval % s != 0:
@@ -241,6 +244,9 @@ def train(config: KGEConfig, dataset: KGDataset,
                     and step % cfg.eval_interval == 0):
                 evaluate_with_samplers(model, state, valid_samplers,
                                        phase="Valid", log=log)
+            if (save_fn is not None and cfg.save_interval > 0
+                    and step % cfg.save_interval == 0):
+                save_fn(state, step)
             continue
 
         t0 = time.time()
@@ -283,6 +289,10 @@ def train(config: KGEConfig, dataset: KGDataset,
             stop_profiler()
             profiling = False
             profile_dir = None
+
+        if (save_fn is not None and cfg.save_interval > 0
+                and step % cfg.save_interval == 0):
+            save_fn(state, step)
 
         if (cfg.valid and valid_samplers is not None
                 and step % cfg.eval_interval == 0):

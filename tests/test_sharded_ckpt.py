@@ -70,3 +70,27 @@ def test_cli_sharded_save_and_resume(tmp_path):
     # resume from the sharded checkpoint (auto-detected)
     rc = train_main(common + ["--max_step", "50", "--init_from", ckpt])
     assert rc == 0
+
+
+def test_cli_periodic_save_interval(tmp_path):
+    from dglke_tpu.cli.train import main as train_main
+    d = str(tmp_path / "data")
+    os.makedirs(d)
+    rng = np.random.RandomState(0)
+    with open(os.path.join(d, "train.txt"), "w") as f:
+        for _ in range(600):
+            f.write(f"e{rng.randint(40)}\tr{rng.randint(4)}"
+                    f"\te{rng.randint(40)}\n")
+    save_root = str(tmp_path / "ckpts")
+    rc = train_main(["--model_name", "TransE_l2", "--dataset", "pkg",
+                     "--data_path", d, "--format", "raw_udd_hrt",
+                     "--data_files", "train.txt",
+                     "--batch_size", "64", "--neg_sample_size", "16",
+                     "--hidden_dim", "16", "--gamma", "5.0", "--lr", "0.3",
+                     "--log_interval", "50", "--max_step", "100",
+                     "--save_interval", "50", "--save_path", save_root])
+    assert rc == 0
+    ckpt = os.path.join(save_root, "TransE_l2_pkg_0")
+    # periodic save leaves a loadable mid-run checkpoint (overwritten at end)
+    assert os.path.exists(os.path.join(ckpt, "pkg_TransE_l2_step.npy"))
+    assert int(np.load(os.path.join(ckpt, "pkg_TransE_l2_step.npy"))) == 100
