@@ -54,6 +54,14 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-m", "--margin", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--has_edge_importance", action="store_true")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="score/matmul compute precision")
+    p.add_argument("--emb_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="embedding table storage dtype (bfloat16 halves "
+                        "the tables' HBM footprint — a capacity knob, "
+                        "~5%% slower per step; optimizer stays fp32)")
 
 
 def add_train_args(p: argparse.ArgumentParser) -> None:

@@ -100,6 +100,11 @@ class KGEConfig:
     # -- compute --------------------------------------------------------------
     # bfloat16 scoring keeps matmuls on the MXU fast path; tables stay fp32.
     compute_dtype: str = "float32"
+    emb_dtype: str = "float32"  # "bfloat16": store tables in bf16 — halves
+    # the HBM FOOTPRINT (86M x 400 Freebase: 137 -> 68 GB), fitting bigger
+    # vocabularies per chip; measured ~5% SLOWER per step on a v5e (cast
+    # passes + sub-word scatter), so it is a capacity knob, not a speed
+    # knob.  Optimizer math and the Adagrad accumulator stay fp32
     # Steps fused into one device call (lax.scan) to amortize host->device
     # transfer latency + dispatch; must be even (head/tail alternation).
     steps_per_call: int = 16

@@ -76,15 +76,19 @@ class KEModel:
     def init_state(self, key: jax.Array) -> TrainState:
         k_e, k_r, k_p = jax.random.split(key, 3)
         emb_init = self.config.emb_init
-        entity = init_embedding(k_e, self.n_entities, self.entity_dim, emb_init)
+        edt = (jnp.bfloat16 if self.config.emb_dtype == "bfloat16"
+               else jnp.float32)
+        entity = init_embedding(k_e, self.n_entities, self.entity_dim,
+                                emb_init, dtype=edt)
         relation = init_embedding(k_r, self.n_relations, self.relation_dim,
-                                  emb_init)
+                                  emb_init, dtype=edt)
         projection = None
         if self.is_transr:
             # reference inits the projection with range 1.0
             # (score_fun.py:173-174: projection_emb.init(1.0))
             projection = init_embedding(
-                k_p, self.n_relations, self.entity_dim * self.relation_dim, 1.0)
+                k_p, self.n_relations, self.entity_dim * self.relation_dim,
+                1.0, dtype=edt)
         return TrainState(entity=entity, relation=relation,
                           projection=projection,
                           step=jnp.zeros((), jnp.int32))
@@ -173,9 +177,14 @@ class KEModel:
         # launches, and the gradient comes back as the single [3B+CK, D]
         # array the sparse Adagrad update consumes directly.
         ent_ids = jnp.concatenate([h, t, neg])
-        ent_rows = gather_rows(state.entity, ent_ids, dim=self.entity_dim)
-        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
-        proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim)
+        # bf16-stored tables: gathers upcast to fp32 so gradients and the
+        # Adagrad math stay fp32 (write-back rounds to the table dtype)
+        ent_rows = gather_rows(state.entity, ent_ids, dim=self.entity_dim,
+                               dtype=jnp.float32)
+        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim,
+                               dtype=jnp.float32)
+        proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim,
+                                 dtype=jnp.float32)
                      if self.is_transr else None)
 
         def loss_fn(ent_rows, rel_rows, proj_rows):

@@ -113,10 +113,13 @@ def init_embedding(key: jax.Array, num: int, dim: int,
     pad columns zero); callers recover logical rows via
     ``gather_rows(..., dim=dim)`` and checkpoint save slices the pad off.
     """
-    emb = jax.random.uniform(key, (num, dim), dtype=dtype,
-                             minval=-emb_init, maxval=emb_init)
+    emb = jax.random.uniform(key, (num, dim), dtype=jnp.float32,
+                             minval=-emb_init, maxval=emb_init).astype(dtype)
     emb = maybe_pad_features(emb)
-    return EmbeddingState(emb=emb, state_sum=jnp.zeros((num,), dtype=dtype))
+    # the Adagrad accumulator stays fp32 regardless of table dtype: its
+    # monotone sum of squares underflows quickly in bf16
+    return EmbeddingState(emb=emb,
+                          state_sum=jnp.zeros((num,), jnp.float32))
 
 
 def maybe_pad_features(emb: jnp.ndarray) -> jnp.ndarray:
@@ -170,6 +173,7 @@ def sparse_adagrad_update(table: EmbeddingState, ids: jnp.ndarray,
     hot step (~160us/step on a v5e at N=3000)."""
     # sq is the mean over the LOGICAL dim (grads are unpadded rows); padding
     # only enters below, as zero delta columns that keep the pad at zero.
+    grads = grads.astype(jnp.float32)  # optimizer math is always fp32
     sq = jnp.mean(grads * grads, axis=1)
     state_sum = table.state_sum.at[ids].add(sq)
     std = jnp.sqrt(state_sum[ids]) + 1e-10

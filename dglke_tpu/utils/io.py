@@ -33,16 +33,21 @@ def save_model(config: KGEConfig, model: KEModel, state: TrainState,
     prefix = f"{config.dataset}_{config.model_name}_"
     state = jax.device_get(state)
     # vocab-sharded tables carry mesh-padding rows and Pallas-path tables
-    # carry lane-padding columns; never persist either
+    # carry lane-padding columns; never persist either.  bf16-stored tables
+    # are upcast: the npy artifact contract (and the reference's tooling)
+    # is fp32.
     ent_emb = np.asarray(state.entity.emb)[:model.n_entities,
                                            :model.entity_dim]
     ent_ss = np.asarray(state.entity.state_sum)[:model.n_entities]
-    np.save(os.path.join(path, prefix + "entity.npy"), ent_emb)
+    np.save(os.path.join(path, prefix + "entity.npy"),
+            ent_emb.astype(np.float32))
     np.save(os.path.join(path, prefix + "relation.npy"),
-            np.asarray(state.relation.emb)[:, :model.relation_dim])
+            np.asarray(state.relation.emb)[:, :model.relation_dim]
+            .astype(np.float32))
     if state.projection is not None:
         np.save(os.path.join(path, prefix + "projection.npy"),
-                np.asarray(state.projection.emb)[:, :model.proj_dim])
+                np.asarray(state.projection.emb)[:, :model.proj_dim]
+                .astype(np.float32))
     if save_opt_state:
         np.save(os.path.join(path, prefix + "entity_state.npy"), ent_ss)
         np.save(os.path.join(path, prefix + "relation_state.npy"),
@@ -67,10 +72,14 @@ def load_model_state(config: KGEConfig, model: KEModel, path: str
             ss = np.load(state_file)
         else:
             ss = np.zeros((emb.shape[0],), np.float32)
-        # restore the lane-padded layout init_embedding would have chosen
+        # the npy artifact is fp32; restore the configured storage dtype
+        # and the lane-padded layout init_embedding would have chosen
         from dglke_tpu.ops.embedding import maybe_pad_features
-        return EmbeddingState(emb=maybe_pad_features(jnp.asarray(emb)),
-                              state_sum=jnp.asarray(ss))
+        edt = (jnp.bfloat16 if config.emb_dtype == "bfloat16"
+               else jnp.float32)
+        return EmbeddingState(
+            emb=maybe_pad_features(jnp.asarray(emb).astype(edt)),
+            state_sum=jnp.asarray(ss, jnp.float32))
 
     entity = load_table("entity")
     relation = load_table("relation")

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from dglke_tpu.config import KGEConfig
 from dglke_tpu.data.dataset import synthetic_dataset
@@ -237,3 +238,13 @@ def test_transr_neg_deg_sample(tiny_ds):
                        neg_deg_sample=True, max_step=60)
     model, state, metrics, _ = _run(cfg, tiny_ds)
     assert np.isfinite(metrics["MRR"]) and metrics["MRR"] > 0.0
+
+
+def test_bfloat16_table_storage_learns(tiny_ds):
+    """--emb_dtype bfloat16: tables stored bf16, optimizer math fp32.
+    Quality must stay close to the fp32 run on the same config."""
+    cfg = small_config(emb_dtype="bfloat16")
+    model, state, metrics, _ = _run(cfg, tiny_ds)
+    assert state.entity.emb.dtype == jnp.bfloat16
+    assert state.entity.state_sum.dtype == jnp.float32
+    assert metrics["MRR"] > 0.18, metrics
