@@ -101,7 +101,9 @@ def main(argv=None):
         from dglke_tpu.data.sampler import EvalSampler
         valid_samplers = [
             EvalSampler(dataset, "valid", cfg.batch_size_eval, mode,
-                        filter_index, eval_percent=cfg.eval_percent)
+                        filter_index, eval_percent=cfg.eval_percent,
+                        rank=jax.process_index(),
+                        ranks=jax.process_count())
             for mode in ("head", "tail")
         ]
     cfg = dataclasses.replace(cfg, valid=args.valid)
@@ -152,7 +154,7 @@ def main(argv=None):
             save_model(cfg, model, state, emap_file=dataset.emap_fname,
                        rmap_file=dataset.rmap_fname)
 
-    if cfg.test and jax.process_count() == 1:
+    if cfg.test:
         if dataset.test_dict is not None:
             # wikikg90M protocol: write test_{rank}.pkl top-10 predictions
             # (reference train_pytorch.py:208-234)

@@ -318,10 +318,14 @@ def evaluate(config: KGEConfig, dataset: KGDataset, model: KEModel,
     cfg = config
     if cfg.eval_filter and filter_index is None:
         filter_index = FilterIndex(dataset)
+    # Multi-host: each process ranks its stride of the eval edges
+    # (reference EvalSampler rank striding, sampler.py:772-775); metrics
+    # are combined across processes in evaluate_with_samplers.
     samplers = [
         EvalSampler(dataset, split, cfg.batch_size_eval, mode,
                     filter_index if cfg.eval_filter else None,
-                    eval_percent=cfg.eval_percent)
+                    eval_percent=cfg.eval_percent,
+                    rank=jax.process_index(), ranks=jax.process_count())
         for mode in ("head", "tail")
     ]
     return evaluate_with_samplers(model, state, samplers, phase=phase,
@@ -515,7 +519,21 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
                 group = []
         flush(group)
     ranks = np.concatenate(all_ranks)
-    metrics = metrics_from_ranks(ranks)
+    if jax.process_count() > 1:
+        # combine fixed-size partial sums over all processes (the
+        # reference funnels per-proc logs through an mp.Queue,
+        # train.py:357-369; here it is one allgather)
+        from jax.experimental import multihost_utils
+        r = ranks.astype(np.float64)
+        local = np.array([r.size, r.sum(), (1.0 / r).sum(),
+                          (r <= 1).sum(), (r <= 3).sum(),
+                          (r <= 10).sum()], np.float64)
+        tot = np.asarray(multihost_utils.process_allgather(local)).sum(0)
+        metrics = {"MRR": tot[2] / tot[0], "MR": tot[1] / tot[0],
+                   "HITS@1": tot[3] / tot[0], "HITS@3": tot[4] / tot[0],
+                   "HITS@10": tot[5] / tot[0]}
+    else:
+        metrics = metrics_from_ranks(ranks)
     for k, v in metrics.items():
         log(f"[0]{phase} average {k}: {v}")
     log(f"[0]{phase} takes {time.time() - start:.3f} seconds")

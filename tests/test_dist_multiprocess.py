@@ -32,11 +32,12 @@ from dglke_tpu.trainer import train
 from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
 from dglke_tpu.utils.io import save_model
 
-full = synthetic_dataset(n_entities=201, n_relations=5, n_train=2000, seed=3)
+full = synthetic_dataset(n_entities=201, n_relations=5, n_train=2000,
+                         n_test=64, seed=3)
 h, r, t = full.train
 part = slice(rank, None, 2)               # this host's edge partition
 ds = KGDataset(name="synthetic", n_entities=201, n_relations=5,
-               train=(h[part], r[part], t[part]))
+               train=(h[part], r[part], t[part]), test=full.test)
 
 cfg = KGEConfig(model_name="TransE_l2", hidden_dim=16, gamma=6.0, lr=0.25,
                 batch_size=64, neg_sample_size=16, max_step=30,
@@ -46,6 +47,14 @@ model = KEModel(cfg, ds.n_entities, ds.n_relations)
 model, state, _ = train(cfg, ds, model=model, plan=plan,
                         log=lambda *a: None)
 assert int(state.step) == 30
+
+# multi-host eval: each rank ranks its stride of the test edges; metrics
+# are combined across processes (allgathered partial sums) so every rank
+# logs the same global numbers
+from dglke_tpu.trainer import evaluate
+metrics = evaluate(cfg, ds, model, state, "test", log=lambda *a: None)
+assert 0.0 < metrics["MRR"] <= 1.0, metrics
+print(f"rank {rank} MRR {metrics['MRR']:.6f}")
 
 # replicate + save on rank 0 (the CLI's dist save path)
 from jax.sharding import NamedSharding, PartitionSpec
@@ -90,6 +99,10 @@ def test_two_process_vocab_sharded_training(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"rank {rank} OK" in out, out
+    # both ranks logged the SAME global MRR (cross-process aggregation)
+    import re
+    mrrs = sorted(re.findall(r"MRR (\d+\.\d+)", outs[0] + outs[1]))
+    assert len(mrrs) == 2 and mrrs[0] == mrrs[1], mrrs
 
     # rank 0 persisted the UNPADDED table (201 rows, not 204)
     emb = np.load(tmp_path / "synthetic_TransE_l2_entity.npy")
