@@ -161,9 +161,12 @@ def main(argv=None):
             from dglke_tpu.trainer import CandidateEvalSampler, \
                 evaluate_candidates
             sampler = CandidateEvalSampler(dataset.test_dict,
-                                           cfg.batch_size_eval)
+                                           cfg.batch_size_eval,
+                                           rank=jax.process_index(),
+                                           ranks=jax.process_count())
             evaluate_candidates(model, state, sampler, mode="Test",
-                                save_path=cfg.save_path)
+                                save_path=cfg.save_path,
+                                rank=jax.process_index())
         elif dataset.test is not None:
             evaluate(cfg, dataset, model, state, "test",
                      filter_index=filter_index)

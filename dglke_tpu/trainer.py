@@ -411,12 +411,16 @@ class CandidateEvalSampler:
     candidate-list evaluation (reference WikiEvalSampler, sampler.py:599-648;
     wikikg90M's 'h,r->t' task with 1001 candidates)."""
 
-    def __init__(self, edges: dict, batch_size: int):
+    def __init__(self, edges: dict, batch_size: int,
+                 rank: int = 0, ranks: int = 1):
         d = edges["h,r->t"]
-        self.hr = np.asarray(d["hr"], np.int32)
-        self.ans = (np.asarray(d["t_correct_index"], np.int32)
+        sl = slice(rank, None, ranks)  # per-rank striding (dist eval:
+        # each process writes its own test_{rank}.pkl stride, reference
+        # train_pytorch.py:208-234)
+        self.hr = np.asarray(d["hr"], np.int32)[sl]
+        self.ans = (np.asarray(d["t_correct_index"], np.int32)[sl]
                     if "t_correct_index" in d else None)
-        self.cand = np.asarray(d["t_candidate"], np.int32)
+        self.cand = np.asarray(d["t_candidate"], np.int32)[sl]
         self.batch_size = batch_size
 
     def __iter__(self):
