@@ -459,7 +459,22 @@ def evaluate_candidates(model: KEModel, state: TrainState,
             if ans is not None:
                 all_ans.append(ans)
     if mode == "Valid":
-        metrics = metrics_from_ranks(np.concatenate(all_ranks))
+        r = np.concatenate(all_ranks).astype(np.float64)
+        if jax.process_count() > 1:
+            # combine partial sums across ranks (strided sampler), same
+            # as evaluate_with_samplers
+            from jax.experimental import multihost_utils
+            local = np.array([r.size, r.sum(), (1.0 / r).sum(),
+                              (r <= 1).sum(), (r <= 3).sum(),
+                              (r <= 10).sum()], np.float64)
+            tot = np.asarray(
+                multihost_utils.process_allgather(local)).sum(0)
+            metrics = {"MRR": tot[2] / tot[0], "MR": tot[1] / tot[0],
+                       "HITS@1": tot[3] / tot[0],
+                       "HITS@3": tot[4] / tot[0],
+                       "HITS@10": tot[5] / tot[0]}
+        else:
+            metrics = metrics_from_ranks(r)
         for k, v in metrics.items():
             log(f"[{rank}]{mode} average {k}: {v}")
         return metrics
