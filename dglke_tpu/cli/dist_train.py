@@ -76,13 +76,28 @@ def main(argv=None):
         procs.append(subprocess.Popen(ssh + [target, cmd]))
         print(f"launched rank {rank} on {ip}")
 
+    # Fail fast: a dead rank stalls the surviving ranks' collectives, so
+    # on the first non-zero exit terminate the rest (the reference only
+    # waits, dist_train.py:93-99, leaving the cluster wedged).
+    import time as _time
     rc = 0
-    for rank, proc in enumerate(procs):
-        code = proc.wait()
-        if code != 0:
-            print(f"rank {rank} failed with exit code {code}",
-                  file=sys.stderr)
-            rc = code
+    live = dict(enumerate(procs))
+    while live and rc == 0:
+        for rank, proc in list(live.items()):
+            code = proc.poll()
+            if code is None:
+                continue
+            del live[rank]
+            if code != 0:
+                print(f"rank {rank} failed with exit code {code}; "
+                      f"terminating remaining ranks", file=sys.stderr)
+                rc = code
+        if rc == 0 and live:
+            _time.sleep(0.5)
+    for proc in live.values():
+        proc.terminate()
+    for proc in live.values():
+        proc.wait()
     return rc
 
 
