@@ -23,6 +23,7 @@ import argparse
 import os
 import subprocess
 import sys
+import time
 from typing import List, Tuple
 
 
@@ -69,7 +70,10 @@ def main(argv=None):
     procs = []
     for rank, (ip, _port) in enumerate(hosts):
         cmd = construct_cmd(args, rank, coordinator)
-        ssh = ["ssh", "-o", "StrictHostKeyChecking=no"]
+        # -tt: allocate a pty so terminating the local ssh client tears
+        # down the REMOTE rank too (otherwise sshd leaves it running,
+        # wedged in a collective)
+        ssh = ["ssh", "-tt", "-o", "StrictHostKeyChecking=no"]
         if args.ssh_key:
             ssh += ["-i", args.ssh_key]
         target = f"{args.user}@{ip}" if args.user else ip
@@ -78,26 +82,28 @@ def main(argv=None):
 
     # Fail fast: a dead rank stalls the surviving ranks' collectives, so
     # on the first non-zero exit terminate the rest (the reference only
-    # waits, dist_train.py:93-99, leaving the cluster wedged).
-    import time as _time
+    # waits, dist_train.py:93-99, leaving the cluster wedged).  The
+    # finally block also reaps every rank on Ctrl-C / unexpected errors.
     rc = 0
     live = dict(enumerate(procs))
-    while live and rc == 0:
-        for rank, proc in list(live.items()):
-            code = proc.poll()
-            if code is None:
-                continue
-            del live[rank]
-            if code != 0:
-                print(f"rank {rank} failed with exit code {code}; "
-                      f"terminating remaining ranks", file=sys.stderr)
-                rc = code
-        if rc == 0 and live:
-            _time.sleep(0.5)
-    for proc in live.values():
-        proc.terminate()
-    for proc in live.values():
-        proc.wait()
+    try:
+        while live and rc == 0:
+            for rank, proc in list(live.items()):
+                code = proc.poll()
+                if code is None:
+                    continue
+                del live[rank]
+                if code != 0:
+                    print(f"rank {rank} failed with exit code {code}; "
+                          f"terminating remaining ranks", file=sys.stderr)
+                    rc = code
+            if rc == 0 and live:
+                time.sleep(0.5)
+    finally:
+        for proc in live.values():
+            proc.terminate()
+        for proc in live.values():
+            proc.wait()
     return rc
 
 
