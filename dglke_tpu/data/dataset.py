@@ -77,7 +77,7 @@ def _read_id_map(path: str, delimiter: str = "\t",
     out: Dict[str, int] = {}
     with open(path) as f:
         for line in f:
-            line = line.rstrip("\n")
+            line = line.strip()
             if not line:
                 continue
             a, b = line.split(delimiter)
@@ -96,7 +96,7 @@ def _read_name_triples(path: str, entity2id, relation2id, fmt: List[int],
         if skip_first_line:
             f.readline()
         for line in f:
-            line = line.rstrip("\n")
+            line = line.strip()
             if not line:
                 continue
             cols = line.split(delimiter)
@@ -122,7 +122,7 @@ def _read_int_triples(path: str, fmt: List[int], delimiter: str = "\t",
         if skip_first_line:
             f.readline()
         for line in f:
-            line = line.rstrip("\n")
+            line = line.strip()
             if not line:
                 continue
             cols = line.split(delimiter)
@@ -313,7 +313,7 @@ def load_raw_udd(data_path: str, name: str, delimiter: str,
     for fi in files:
         with open(os.path.join(data_path, fi)) as f:
             for line in f:
-                line = line.rstrip("\n")
+                line = line.strip()
                 if not line:
                     continue
                 cols = line.split(delimiter)

@@ -77,7 +77,9 @@ def soft_relation_partition(triples, n_parts: int, threshold: float = 0.05):
     h, r, t = triples[0], triples[1], triples[2]
     n = len(r)
     uniq, counts = np.unique(r, return_counts=True)
-    big = counts > threshold * n / n_parts
+    # reference SoftRelationPartition (sampler.py:84-88):
+    # cross iff count > min(threshold * E, E / n_parts)
+    big = counts > min(threshold * n, n / n_parts)
     cross_rels = set(int(x) for x in uniq[big])
 
     part_sizes = np.zeros(n_parts, np.int64)

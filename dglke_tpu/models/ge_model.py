@@ -66,8 +66,17 @@ class TripleSet:
         head = np.asarray(head, dtype=np.int64)
         rel = np.asarray(rel, dtype=np.int64)
         tail = np.asarray(tail, dtype=np.int64)
-        self.n_entities = int(n_entities)
-        self.n_relations = int(n_relations)
+        # Key bases derive from the DATA as well as the declared counts:
+        # attach_graph may run before embeddings load (num_entity == -1 in
+        # BasicGEModel), and a base smaller than the ids would make
+        # composite keys collide -> silent false positives in contains().
+        # The reference's attach_graph is order-independent (ke_model.py:
+        # 67-88); so is this.
+        self.n_entities = max(int(n_entities),
+                              int(head.max()) + 1 if len(head) else 1,
+                              int(tail.max()) + 1 if len(tail) else 1, 1)
+        self.n_relations = max(int(n_relations),
+                               int(rel.max()) + 1 if len(rel) else 1, 1)
         self.num_edges = len(head)
         self._head, self._rel, self._tail = head, rel, tail
 
@@ -85,6 +94,13 @@ class TripleSet:
         tail = np.asarray(tail, dtype=np.int64)
         if self.num_edges == 0:
             return np.zeros(head.shape, dtype=bool)
+        # ids beyond the key bases cannot be members (and would collide)
+        in_range = ((head < self.n_entities) & (tail < self.n_entities)
+                    & (rel < self.n_relations) & (head >= 0) & (tail >= 0)
+                    & (rel >= 0))
+        head = np.minimum(head, self.n_entities - 1)
+        tail = np.minimum(tail, self.n_entities - 1)
+        rel = np.minimum(rel, self.n_relations - 1)
         ht = head * self.n_entities + tail
         pos = np.searchsorted(self._ht_keys, ht)
         pos_c = np.minimum(pos, len(self._ht_keys) - 1)
@@ -93,7 +109,7 @@ class TripleSet:
         gpos = np.searchsorted(self._gr_keys, gr)
         gpos_c = np.minimum(gpos, len(self._gr_keys) - 1)
         gr_hit = (len(self._gr_keys) > 0) & (self._gr_keys[gpos_c] == gr)
-        return ht_hit & gr_hit
+        return ht_hit & gr_hit & in_range
 
     @property
     def edges(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -521,9 +537,9 @@ class GNNModel(BasicGEModel):
     def __init__(self, device=None, model_name: str = "TransE_l2",
                  gamma: float = 0.0):
         if model_name in ("TransE", "TransE_l2"):
-            score_func = TransEScore(gamma, ord=2)
+            score_func = TransEScore(gamma, dist_ord=2)
         elif model_name == "TransE_l1":
-            score_func = TransEScore(gamma, ord=1)
+            score_func = TransEScore(gamma, dist_ord=1)
         elif model_name == "DistMult":
             score_func = DistMultScore()
         else:

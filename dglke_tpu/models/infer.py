@@ -107,6 +107,11 @@ class InferModel:
         self.relation_emb = np.load(
             os.path.join(path, prefix + "relation.npy"))
         proj = os.path.join(path, prefix + "projection.npy")
+        if not os.path.exists(proj):
+            # reference spelling: no separating underscore
+            # (TransRScore.save, score_fun.py:179-180)
+            proj = os.path.join(path, prefix + "projection.npy"
+                                ).replace("_projection", "projection")
         if self.is_transr:
             self.projection_emb = np.load(proj)
 

@@ -79,6 +79,11 @@ class LossGenerator:
             log["loss"] = loss
             return loss, log
 
+        # DELIBERATE fix vs the reference: its positive term multiplies a
+        # [B] loss by a [B,1] weight (pytorch/loss.py:82), broadcasting to
+        # [B,B] so th.mean degenerates to mean(crit)*mean(w) — a uniform
+        # global scale instead of per-edge weighting (its negative term
+        # broadcasts correctly).  We weight each positive by its own edge.
         pos_loss = crit(pos_score, 1.0) * (w if edge_weight is None else w[:, 0])
         neg_loss = crit(neg_score, self.neg_label) * w
 

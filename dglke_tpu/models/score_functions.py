@@ -55,7 +55,10 @@ def batched_l1_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def _norm(x: jnp.ndarray, ord: int, axis: int = -1) -> jnp.ndarray:
     if ord == 1:
         return jnp.sum(jnp.abs(x), axis=axis)
-    return jnp.sqrt(jnp.sum(x * x, axis=axis))
+    # clamp before sqrt: d sqrt(0)/dx is NaN and one exactly-zero distance
+    # would NaN-poison the whole table via Adagrad (torch.norm in the
+    # reference has a 0 subgradient at 0; same clamp as batched_l2_dist)
+    return jnp.sqrt(jnp.clip(jnp.sum(x * x, axis=axis), min=1e-30))
 
 
 # ---------------------------------------------------------------------------
@@ -172,7 +175,14 @@ class TransRScore(ScoreFunction):
             pos = (emb - rel)[:, :, None, :]   # tails - rel
             diff = neg_emb - pos
         else:
-            pos = (emb + rel)[:, :, None, :]   # heads + rel ... sign below
+            # DELIBERATE fix vs the reference: its tail-corrupt TransR
+            # create_neg computes |h - r - t'| (score_fun.py:227-233),
+            # inconsistent with its own positive score |h + r - t| and
+            # with every other translational model; that path is untested
+            # upstream.  We keep h + r so neg scores agree with pos
+            # scores of the same triple (see also the RESCAL transpose
+            # fix below).
+            pos = (emb + rel)[:, :, None, :]
             diff = pos - neg_emb
         return self.gamma - jnp.sum(jnp.abs(diff), axis=-1)
 
@@ -339,7 +349,8 @@ class RotatEScore(ScoreFunction):
         re_r, im_r = jnp.cos(ph), jnp.sin(ph)
         re_s = re_h * re_r - im_h * im_r - re_t
         im_s = re_h * im_r + im_h * re_r - im_t
-        dist = jnp.sqrt(re_s * re_s + im_s * im_s)
+        # clip: NaN-gradient guard at zero modulus (see _norm)
+        dist = jnp.sqrt(jnp.clip(re_s * re_s + im_s * im_s, min=1e-30))
         return self.gamma - jnp.sum(dist, axis=-1)
 
     def neg_score(self, emb, rel, neg_emb, *, neg_head, num_chunks,
@@ -365,7 +376,7 @@ class RotatEScore(ScoreFunction):
         im_n = neg_emb[..., h:].reshape(num_chunks, 1, neg_sample_size, h)
         re_d = real - re_n                            # [C, Bc, K, D/2]
         im_d = imag - im_n
-        dist = jnp.sqrt(re_d * re_d + im_d * im_d)
+        dist = jnp.sqrt(jnp.clip(re_d * re_d + im_d * im_d, min=1e-30))
         return self.gamma - jnp.sum(dist, axis=-1)
 
     def infer_score(self, head, rel, tail):
@@ -377,7 +388,7 @@ class RotatEScore(ScoreFunction):
         im_hr = re_h[:, None, :] * im_r[None, :, :] + im_h[:, None, :] * re_r[None, :, :]
         re_s = re_hr[:, :, None, :] - re_t[None, None, :, :]
         im_s = im_hr[:, :, None, :] - im_t[None, None, :, :]
-        dist = jnp.sqrt(re_s * re_s + im_s * im_s)
+        dist = jnp.sqrt(jnp.clip(re_s * re_s + im_s * im_s, min=1e-30))
         return self.gamma - jnp.sum(dist, axis=-1)
 
 

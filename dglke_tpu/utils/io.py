@@ -45,7 +45,10 @@ def save_model(config: KGEConfig, model: KEModel, state: TrainState,
             np.asarray(state.relation.emb)[:, :model.relation_dim]
             .astype(np.float32))
     if state.projection is not None:
-        np.save(os.path.join(path, prefix + "projection.npy"),
+        # the reference spells this WITHOUT the separating underscore
+        # (TransRScore.save: name + 'projection', score_fun.py:179-180);
+        # match it so reference tooling can read our TransR checkpoints
+        np.save(os.path.join(path, prefix[:-1] + "projection.npy"),
                 np.asarray(state.projection.emb)[:, :model.proj_dim]
                 .astype(np.float32))
     if save_opt_state:
@@ -66,7 +69,11 @@ def load_model_state(config: KGEConfig, model: KEModel, path: str
     prefix = f"{config.dataset}_{config.model_name}_"
 
     def load_table(name) -> EmbeddingState:
-        emb = np.load(os.path.join(path, prefix + f"{name}.npy"))
+        fname = os.path.join(path, prefix + f"{name}.npy")
+        if name == "projection" and not os.path.exists(fname):
+            # reference spelling (no underscore), score_fun.py:179-180
+            fname = os.path.join(path, prefix[:-1] + "projection.npy")
+        emb = np.load(fname)
         state_file = os.path.join(path, prefix + f"{name}_state.npy")
         if os.path.exists(state_file):
             ss = np.load(state_file)

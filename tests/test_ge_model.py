@@ -380,3 +380,25 @@ def test_attach_graph_from_dataset(tmp_path):
     model.attach_graph(ds)
     h, r, t = ds.train
     assert model.graph.contains(h[:10], r[:10], t[:10]).all()
+
+
+def test_gnnmodel_constructs_all_supported():
+    """GNNModel TransE variants crashed at construction (ord= vs dist_ord)."""
+    from dglke_tpu.models.ge_model import GNNModel
+    for name in ("TransE", "TransE_l2", "TransE_l1", "DistMult"):
+        m = GNNModel(model_name=name, gamma=5.0)
+        assert m is not None
+    import pytest
+    with pytest.raises(ValueError):
+        GNNModel(model_name="RotatE")
+
+
+def test_tripleset_order_independent_attach():
+    """attach_graph before load_emb must not build colliding keys
+    (num_entity == -1): previously contains() gave false positives."""
+    from dglke_tpu.models.ge_model import TripleSet
+    ts = TripleSet([1], [0], [3], -1, 5)
+    assert not ts.contains([2], [0], [4])[0]
+    assert ts.contains([1], [0], [3])[0]
+    # out-of-range candidates are never members
+    assert not ts.contains([100], [0], [100])[0]
