@@ -133,3 +133,23 @@ def test_emb_sim_pairwise_and_bcast(ckpt):
     assert len(res_b) == len(left)
     for i, (hl, tl, sl) in enumerate(res_b):
         assert (hl == left[i]).all()
+
+
+def test_score_infer_reference_layout_transr(tmp_path):
+    """A TransR checkpoint in the REFERENCE's file layout (projection file
+    spelled without the separating underscore, score_fun.py:179-180) loads
+    and scores."""
+    rng = np.random.RandomState(0)
+    d = str(tmp_path)
+    ent = rng.randn(20, 4).astype(np.float32)
+    rel = rng.randn(3, 4).astype(np.float32)
+    proj = rng.randn(3, 16).astype(np.float32)  # [nr, De*Dr] = [3, 4*4]
+    np.save(os.path.join(d, "kg_TransR_entity.npy"), ent)
+    np.save(os.path.join(d, "kg_TransR_relation.npy"), rel)
+    np.save(os.path.join(d, "kg_TransRprojection.npy"), proj)  # ref spelling
+    cfg = KGEConfig(model_name="TransR", hidden_dim=4, gamma=5.0,
+                    dataset="kg", double_ent=False)
+    si = ScoreInfer(-1, cfg, d, "none")
+    si.load_model()
+    res = si.topK(np.array([0, 1]), np.array([0]), np.array([2, 3]), k=2)
+    assert len(res[0]) == 2
