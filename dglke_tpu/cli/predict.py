@@ -43,6 +43,12 @@ def parse_inputs(args):
     """Map the format string to (head_f, rel_f, tail_f) file slots and load."""
     slots = args.format.split("_")  # e.g. ['h', 'r', '*']
     files = list(args.data_files or [])
+    need = [dict(h="head", r="rel", t="tail")[s] + ".list"
+            for s in slots if s != "*"]
+    if len(files) != len(need):
+        raise ValueError(
+            f"format {args.format!r} needs {len(need)} data file(s) "
+            f"({', '.join(need)}); got {len(files)} via --data_files")
     per_slot = []
     for s in slots:
         per_slot.append(files.pop(0) if s != "*" else None)

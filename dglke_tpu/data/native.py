@@ -91,6 +91,10 @@ def ldg_partition_native(h: np.ndarray, t: np.ndarray, n_nodes: int,
     cut = lib.kge_ldg_partition(h64.ctypes.data, t64.ctypes.data,
                                 len(h64), n_nodes, k, seed,
                                 assign.ctypes.data)
+    if cut < 0:
+        raise ValueError(
+            "ldg_partition: invalid inputs (node id out of [0, n_nodes) "
+            f"or k <= 0; n_nodes={n_nodes}, k={k})")
     return assign, int(cut)
 
 
@@ -124,7 +128,11 @@ class NativeSuperbatchSampler:
         self._handle = lib.kge_sampler_create(
             self._h.ctypes.data, self._r.ctypes.data, self._t.ctypes.data,
             len(self._h), n_entities, batch_size, neg_total, seed,
-            n_threads)
+            max(1, int(n_threads)))
+        if not self._handle:
+            raise ValueError(
+                "kge_sampler_create rejected its arguments (empty edge "
+                "list, > INT32_MAX edges, or non-positive sizes)")
 
     def __iter__(self):
         return self

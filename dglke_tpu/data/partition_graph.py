@@ -83,7 +83,9 @@ def partition_and_write(triples: Tuple[np.ndarray, ...], n_entities: int,
         try:
             from dglke_tpu.data.native import ldg_partition_native
             assign, _ = ldg_partition_native(h, t, n_entities, k, seed)
-        except RuntimeError:
+        except (RuntimeError, AttributeError, OSError):
+            # unavailable, stale .so missing the symbol, or load failure:
+            # the numpy implementation is the documented fallback
             assign = ldg_partition(h, t, n_entities, k, seed)
     elif method == "random":
         assign = random_node_partition(n_entities, k, seed)

@@ -151,6 +151,12 @@ void* kge_sampler_create(const int32_t* h, const int32_t* r,
                          const int32_t* t, int64_t n_edges,
                          int32_t n_entities, int32_t batch_size,
                          int32_t neg_total, uint64_t seed, int n_threads) {
+  // int32 permutation indices cap the edge count; n_threads <= 0 would
+  // make the strided worker loop (srow += n_threads) never advance.
+  if (n_edges <= 0 || n_edges > INT32_MAX || n_entities <= 0 ||
+      batch_size <= 0 || neg_total <= 0)
+    return nullptr;
+  if (n_threads < 1) n_threads = 1;
   return new Sampler(h, r, t, n_edges, n_entities, batch_size, neg_total,
                      seed, n_threads);
 }

@@ -70,6 +70,14 @@ extern "C" {
 int64_t kge_ldg_partition(const int64_t* h, const int64_t* t,
                           int64_t n_edges, int64_t n_nodes, int32_t k,
                           uint64_t seed, int32_t* assign_out) {
+  // Validate before any heap write: bad ids or k would otherwise corrupt
+  // the heap silently (the numpy fallback fails loudly).  Returns -1 so
+  // the Python wrapper can raise.
+  if (k <= 0 || n_nodes <= 0 || n_edges < 0) return -1;
+  for (int64_t e = 0; e < n_edges; ++e) {
+    if (h[e] < 0 || h[e] >= n_nodes || t[e] < 0 || t[e] >= n_nodes)
+      return -1;
+  }
   // --- undirected CSR (both directions) via counting sort ---------------
   std::vector<int64_t> indptr(n_nodes + 1, 0);
   for (int64_t e = 0; e < n_edges; ++e) {

@@ -62,3 +62,15 @@ def test_native_matches_numpy_quality():
     np_assign = ldg_partition(h, t, n, 4, seed=0)
     np_cut = int(np.sum(np_assign[h] != np_assign[t]))
     assert native_cut <= max(1.3 * np_cut, np_cut + 50)
+
+
+def test_native_partition_rejects_bad_ids():
+    import pytest
+    from dglke_tpu.data import native
+    if not native.available():
+        pytest.skip("native library not built")
+    import numpy as np
+    h = np.array([0, 99], np.int64)   # id 99 out of range for n_nodes=10
+    t = np.array([1, 2], np.int64)
+    with pytest.raises(ValueError):
+        native.ldg_partition_native(h, t, 10, 2, 0)

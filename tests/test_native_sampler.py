@@ -72,3 +72,15 @@ def test_seed_determinism():
     c, _ = make_sampler(seed=12)
     pc = next(iter(c))["packed"]
     assert not np.array_equal(pa, pc)
+
+
+def test_create_rejects_bad_args():
+    import pytest
+    rng = np.random.RandomState(0)
+    h = rng.randint(0, 10, 50).astype(np.int32)
+    with pytest.raises(ValueError):
+        native.NativeSuperbatchSampler(h, h, h, 0, 8, 4, 2, seed=0)
+    # n_threads=0 must not hang (clamped to 1)
+    s = native.NativeSuperbatchSampler(h, h, h, 10, 8, 4, 2, seed=0,
+                                       n_threads=0)
+    assert next(iter(s))["packed"].shape == (2, 28)
