@@ -39,7 +39,21 @@ def main(argv=None):
                           cfg.delimiter, cfg.data_files,
                           cfg.has_edge_importance)
     model = KEModel(cfg, dataset.n_entities, dataset.n_relations)
-    state = load_model_state(cfg, model, args.model_path)
+    from dglke_tpu.utils.io import has_sharded
+    if has_sharded(args.model_path):
+        # sharded (orbax) checkpoint from --sharded_ckpt: restore into a
+        # freshly initialized layout (sharded over a mesh when available)
+        import jax
+        from dglke_tpu.utils.io import load_sharded
+        template = model.init_state(jax.random.PRNGKey(cfg.seed))
+        if len(jax.devices()) > 1:
+            from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
+            plan = ShardingPlan(make_mesh(len(jax.devices())),
+                                table_sharding="vocab")
+            template = plan.put_state(template)
+        state = load_sharded(template, args.model_path)
+    else:
+        state = load_model_state(cfg, model, args.model_path)
     evaluate(cfg, dataset, model, state, "test")
     return 0
 

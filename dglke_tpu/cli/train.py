@@ -16,10 +16,16 @@ from dglke_tpu.trainer import evaluate, train
 from dglke_tpu.utils.io import save_model
 
 
-def prepare_save_path(cfg):
+def prepare_save_path(cfg, multihost: bool = False):
     os.makedirs(cfg.save_path, exist_ok=True)
     folder = f"{cfg.model_name}_{cfg.dataset}_"
     n = len([x for x in os.listdir(cfg.save_path) if x.startswith(folder)])
+    if multihost:
+        # every process must agree on the numbered directory (the sharded
+        # orbax save is collective); rank 0 decides, everyone adopts
+        import numpy as _np
+        from jax.experimental import multihost_utils
+        n = int(multihost_utils.broadcast_one_to_all(_np.int32(n)))
     path = os.path.join(cfg.save_path, folder + str(n))
     os.makedirs(path, exist_ok=True)
     return dataclasses.replace(cfg, save_path=path)
@@ -31,7 +37,6 @@ def main(argv=None):
     add_train_args(parser)
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
-    cfg = prepare_save_path(cfg)
 
     if args.dist:
         import jax
@@ -39,6 +44,7 @@ def main(argv=None):
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
             process_id=int(os.environ["JAX_PROCESS_ID"]))
+    cfg = prepare_save_path(cfg, multihost=args.dist)
 
     init_start = time.time()
     if args.dist and args.partition_path is not None:
@@ -96,7 +102,9 @@ def main(argv=None):
     if args.valid and dataset.valid_dict is not None:
         from dglke_tpu.trainer import CandidateEvalSampler
         valid_samplers = [CandidateEvalSampler(dataset.valid_dict,
-                                               cfg.batch_size_eval)]
+                                               cfg.batch_size_eval,
+                                               rank=jax.process_index(),
+                                               ranks=jax.process_count())]
     elif args.valid and dataset.valid is not None:
         from dglke_tpu.data.sampler import EvalSampler
         valid_samplers = [
@@ -110,6 +118,12 @@ def main(argv=None):
 
     save_fn = None
     if cfg.save_interval > 0 and not cfg.no_save_emb:
+        if jax.process_count() > 1 and not args.sharded_ckpt:
+            raise SystemExit(
+                "--save_interval under --dist requires --sharded_ckpt "
+                "(replicating the table to one host per interval is not "
+                "feasible at multi-host scale)")
+
         def save_fn(st, step):
             # periodic fault-tolerance checkpoint, overwritten in place;
             # resume with --init_from <save_path>
@@ -119,10 +133,12 @@ def main(argv=None):
                 if jax.process_index() == 0:
                     cfg.save(cfg.save_path, dataset.emap_fname,
                              dataset.rmap_fname)
-            elif jax.process_count() == 1:
+            else:
                 save_model(cfg, model, st, emap_file=dataset.emap_fname,
                            rmap_file=dataset.rmap_fname)
-            print(f"[proc 0]checkpoint at step {step} -> {cfg.save_path}")
+            if jax.process_index() == 0:
+                print(f"[proc 0]checkpoint at step {step} "
+                      f"-> {cfg.save_path}")
 
     model, state, info = train(cfg, dataset, model=model, state=state,
                                plan=plan, valid_samplers=valid_samplers,

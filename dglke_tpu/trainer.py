@@ -169,6 +169,16 @@ def train(config: KGEConfig, dataset: KGDataset,
                     s -= 2
         if cfg.max_step % s != 0 or (s & 1):
             s = 2 if cfg.max_step % 2 == 0 else 1
+        for nm, interval in (("log_interval", cfg.log_interval),
+                             ("eval_interval",
+                              cfg.eval_interval if cfg.valid else None),
+                             ("save_interval",
+                              cfg.save_interval if cfg.save_interval > 0
+                              else None)):
+            if interval and s > 1 and interval % s != 0:
+                log(f"[proc 0]NOTE: {nm}={interval} is not a multiple of "
+                    f"the fused call size {s}; it fires at the first "
+                    f"step past each multiple of {interval}")
     pipe = None
     if device_pipe_mode and s > 1:
         pipe = DevicePipeline(model, dataset, cfg.batch_size,
@@ -201,6 +211,11 @@ def train(config: KGEConfig, dataset: KGDataset,
     if pipe is None:
         prefetch = Prefetcher(feeder, _put_batch(plan))
 
+    def crossed(step, prev, interval):
+        # True when [prev, step] crossed a multiple of interval — exact for
+        # any interval even when the fused call size s does not divide it
+        return interval and (step // interval) > (prev // interval)
+
     logs: list = []
     start = time.time()
     sample_time = update_time = 0.0
@@ -223,10 +238,11 @@ def train(config: KGEConfig, dataset: KGDataset,
         if pipe is not None:
             t0 = time.time()
             state, log_dict = pipe.run_call(state)
+            prev = step
             step += s
             update_time += time.time() - t0
             logs.append(log_dict)
-            if step % cfg.log_interval == 0:
+            if crossed(step, prev, cfg.log_interval):
                 host_logs = jax.device_get(logs)
                 for k in host_logs[0]:
                     v = float(np.mean([l[k] for l in host_logs]))
@@ -241,11 +257,11 @@ def train(config: KGEConfig, dataset: KGDataset,
                 profiling = False
                 profile_dir = None
             if (cfg.valid and valid_samplers is not None
-                    and step % cfg.eval_interval == 0):
+                    and crossed(step, prev, cfg.eval_interval)):
                 evaluate_with_samplers(model, state, valid_samplers,
                                        phase="Valid", log=log)
             if (save_fn is not None and cfg.save_interval > 0
-                    and step % cfg.save_interval == 0):
+                    and crossed(step, prev, cfg.save_interval)):
                 save_fn(state, step)
             continue
 
@@ -254,6 +270,7 @@ def train(config: KGEConfig, dataset: KGDataset,
         sample_time += time.time() - t0
 
         t0 = time.time()
+        prev = step
         if packed_mode and s > 1:
             state, log_dict = step_fn(state, batch["packed"],
                                       batch.get("impts"))
@@ -271,7 +288,7 @@ def train(config: KGEConfig, dataset: KGDataset,
         update_time += time.time() - t0
         logs.append(log_dict)
 
-        if step % cfg.log_interval == 0:
+        if crossed(step, prev, cfg.log_interval):
             host_logs = jax.device_get(logs)
             for k in host_logs[0]:
                 v = float(np.mean([l[k] for l in host_logs]))
@@ -291,11 +308,11 @@ def train(config: KGEConfig, dataset: KGDataset,
             profile_dir = None
 
         if (save_fn is not None and cfg.save_interval > 0
-                and step % cfg.save_interval == 0):
+                and crossed(step, prev, cfg.save_interval)):
             save_fn(state, step)
 
         if (cfg.valid and valid_samplers is not None
-                and step % cfg.eval_interval == 0):
+                and crossed(step, prev, cfg.eval_interval)):
             vm = evaluate_with_samplers(model, state, valid_samplers,
                                         phase="Valid", log=log)
     if profiling:
@@ -459,7 +476,8 @@ def evaluate_candidates(model: KEModel, state: TrainState,
             if ans is not None:
                 all_ans.append(ans)
     if mode == "Valid":
-        r = np.concatenate(all_ranks).astype(np.float64)
+        r = (np.concatenate(all_ranks).astype(np.float64) if all_ranks
+             else np.zeros((0,), np.float64))
         if jax.process_count() > 1:
             # combine partial sums across ranks (strided sampler), same
             # as evaluate_with_samplers
@@ -537,7 +555,10 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
                 flush(group)
                 group = []
         flush(group)
-    ranks = np.concatenate(all_ranks)
+    # a rank's stride can be empty (tiny eval split / eval_percent); it
+    # must still join the collective below with zero partial sums
+    ranks = (np.concatenate(all_ranks) if all_ranks
+             else np.zeros((0,), np.int64))
     if jax.process_count() > 1:
         # combine fixed-size partial sums over all processes (the
         # reference funnels per-proc logs through an mp.Queue,
