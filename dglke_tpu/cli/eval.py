@@ -41,17 +41,22 @@ def main(argv=None):
     model = KEModel(cfg, dataset.n_entities, dataset.n_relations)
     from dglke_tpu.utils.io import has_sharded
     if has_sharded(args.model_path):
-        # sharded (orbax) checkpoint from --sharded_ckpt: restore into a
-        # freshly initialized layout (sharded over a mesh when available)
+        # sharded (orbax) checkpoint from --sharded_ckpt: the saved shapes
+        # depend on how training sharded the tables (vocab sharding mesh-
+        # pads the entity rows) — try the replicated layout first, then
+        # the vocab-sharded one.
         import jax
         from dglke_tpu.utils.io import load_sharded
         template = model.init_state(jax.random.PRNGKey(cfg.seed))
-        if len(jax.devices()) > 1:
+        try:
+            state = load_sharded(template, args.model_path)
+        except Exception:
+            if len(jax.devices()) <= 1:
+                raise
             from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
             plan = ShardingPlan(make_mesh(len(jax.devices())),
                                 table_sharding="vocab")
-            template = plan.put_state(template)
-        state = load_sharded(template, args.model_path)
+            state = load_sharded(plan.put_state(template), args.model_path)
     else:
         state = load_model_state(cfg, model, args.model_path)
     evaluate(cfg, dataset, model, state, "test")

@@ -94,3 +94,34 @@ def test_cli_periodic_save_interval(tmp_path):
     # periodic save leaves a loadable mid-run checkpoint (overwritten at end)
     assert os.path.exists(os.path.join(ckpt, "pkg_TransE_l2_step.npy"))
     assert int(np.load(os.path.join(ckpt, "pkg_TransE_l2_step.npy"))) == 100
+
+
+def test_cli_eval_loads_sharded(tmp_path):
+    """dglke_tpu-eval reads sharded checkpoints, both replicated and
+    vocab-sharded table layouts."""
+    from dglke_tpu.cli.train import main as train_main
+    from dglke_tpu.cli.eval import main as eval_main
+    d = str(tmp_path / "data")
+    os.makedirs(d)
+    rng = np.random.RandomState(0)
+    for name, n in (("train.txt", 600), ("valid.txt", 60), ("test.txt", 60)):
+        with open(os.path.join(d, name), "w") as f:
+            for _ in range(n):
+                f.write(f"e{rng.randint(40)}\tr{rng.randint(4)}"
+                        f"\te{rng.randint(40)}\n")
+    for sharding in ("replicated", "vocab"):
+        save_root = str(tmp_path / f"ckpts_{sharding}")
+        common = ["--model_name", "TransE_l2", "--dataset", "skg",
+                  "--data_path", d, "--format", "raw_udd_hrt",
+                  "--data_files", "train.txt", "valid.txt", "test.txt",
+                  "--batch_size", "64", "--neg_sample_size", "16",
+                  "--hidden_dim", "16", "--gamma", "5.0", "--lr", "0.3",
+                  "--log_interval", "50"]
+        rc = train_main(common + ["--max_step", "100", "--sharded_ckpt",
+                                  "--table_sharding", sharding,
+                                  "--save_path", save_root])
+        assert rc == 0
+        ckpt = os.path.join(save_root, "TransE_l2_skg_0")
+        rc = eval_main(common + ["--model_path", ckpt,
+                                 "--batch_size_eval", "8"])
+        assert rc == 0
