@@ -135,6 +135,8 @@ def _as_triple_set(g, n_entities: int, n_relations: int) -> TripleSet:
 
 
 def _np_logsigmoid(x: np.ndarray) -> np.ndarray:
+    # NOTE: keep in sync with infer.py ScoreInfer._squash (same math; the
+    # two APIs wrap different checkpoint layouts)
     return np.asarray(jax.nn.log_sigmoid(jnp.asarray(x)))
 
 

@@ -138,7 +138,9 @@ class InferModel:
             return np.asarray(sf.pos_score(h_emb, r_emb, t_emb))
 
         if self.is_transr:
-            # all-pairs with per-relation projection: block over relations
+            # all-pairs with per-relation projection: block over relations.
+            # NOTE: ge_model.BasicGEModel._infer_score has a sibling TransR
+            # block (new-API layout); keep scoring semantics in sync.
             out = []
             for j in range(r_emb.shape[0]):
                 proj = jnp.asarray(

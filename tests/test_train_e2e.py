@@ -248,3 +248,33 @@ def test_bfloat16_table_storage_learns(tiny_ds):
     assert state.entity.emb.dtype == jnp.bfloat16
     assert state.entity.state_sum.dtype == jnp.float32
     assert metrics["MRR"] > 0.18, metrics
+
+
+def test_structured_graph_solved_exactly():
+    """On a deterministic cyclic graph (t = (h + r + 1) % N, every pair
+    seen) RotatE must essentially SOLVE the task (its rotation bias
+    matches the generator exactly; measured MRR 1.0) — a much stronger
+    correctness signal than the noisy-synthetic thresholds above.
+    TransE cannot represent cyclic composition (stays ~0.1 MRR), which is
+    itself the behavior the literature predicts."""
+    import itertools
+    n, nr = 40, 4
+    hs, rs, ts = [], [], []
+    for h, r in itertools.product(range(n), range(nr)):
+        hs.append(h); rs.append(r); ts.append((h + r + 1) % n)
+    h = np.array(hs, np.int64); r = np.array(rs, np.int64)
+    t = np.array(ts, np.int64)
+    rng = np.random.RandomState(0)
+    idx = rng.permutation(len(h))
+    h, r, t = h[idx], r[idx], t[idx]
+    from dglke_tpu.data.dataset import KGDataset
+    ds = KGDataset(name="ring", n_entities=n, n_relations=nr,
+                   train=(h[:140], r[:140], t[:140]),
+                   test=(h[140:], r[140:], t[140:]))
+    cfg = small_config(model_name="RotatE", double_ent=True,
+                       hidden_dim=32, batch_size=64, neg_sample_size=16,
+                       max_step=4000, gamma=4.0, lr=0.05,
+                       regularization_coef=0.0)
+    _, _, metrics, _ = _run(cfg, ds)
+    assert metrics["MRR"] > 0.95, metrics
+    assert metrics["HITS@1"] > 0.9, metrics
