@@ -58,7 +58,9 @@ state = model.init_state(jax.random.PRNGKey(0))
 pipe = DevicePipeline(model, ds, cfg.batch_size,
                       cfg.num_chunks * cfg.neg_sample_size, cfg.steps_per_call, seed=0)
 log = None
-for _ in range(2): state, log = pipe.run_call(state)
+# warm one full epoch + 1: the straddling call is a second jit variant
+for _ in range(9): state, log = pipe.run_call(state)
+float(log['loss'])
 t0 = time.time()
 for _ in range(12): state, log = pipe.run_call(state)
 float(log['loss']); dt = time.time() - t0
