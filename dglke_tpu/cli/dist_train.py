@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shlex
 import subprocess
 import sys
 import time
@@ -43,12 +44,15 @@ def read_ip_config(path: str) -> List[Tuple[str, int]]:
 
 def construct_cmd(args, rank: int, coordinator: str) -> str:
     passthrough = list(args.train_args or [])
-    cmd = (f"cd {args.path} && "
+    if passthrough and passthrough[0] == "--":
+        passthrough = passthrough[1:]  # a '--' separator must not reach
+        # the remote train parser (it rejects positional tokens)
+    quoted = " ".join(shlex.quote(a) for a in passthrough)
+    cmd = (f"cd {shlex.quote(args.path)} && "
            f"JAX_COORDINATOR_ADDRESS={coordinator} "
            f"JAX_NUM_PROCESSES={args.num_hosts} "
            f"JAX_PROCESS_ID={rank} "
-           f"{sys.executable} -m dglke_tpu.cli.train --dist "
-           + " ".join(passthrough))
+           f"{sys.executable} -m dglke_tpu.cli.train --dist " + quoted)
     return cmd
 
 
@@ -59,9 +63,11 @@ def main(argv=None):
     p.add_argument("--ip_config", type=str, required=True)
     p.add_argument("--ssh_key", type=str, default=None)
     p.add_argument("--user", type=str, default=None)
-    p.add_argument("train_args", nargs=argparse.REMAINDER,
-                   help="arguments forwarded to dglke_tpu-train")
-    args = p.parse_args(argv)
+    # everything not recognized here is forwarded to dglke_tpu-train on
+    # every host ('--' separator optional): argparse.REMAINDER cannot
+    # capture option-like tokens, so parse_known_args does the split
+    args, extra = p.parse_known_args(argv)
+    args.train_args = extra
 
     hosts = read_ip_config(args.ip_config)
     args.num_hosts = len(hosts)

@@ -42,6 +42,13 @@ def load_partition(path: str, rank: int) -> PartitionDataset:
                       dtype=np.int64, ndmin=1)
     tri = np.loadtxt(os.path.join(pdir, "train.txt"), dtype=np.int64,
                      ndmin=2)
+    if tri.size == 0:
+        # np.loadtxt on an empty file yields shape (0, 1); a clear error
+        # beats the IndexError on tri[:, 1] — an edgeless partition
+        # cannot feed a training host
+        raise ValueError(
+            f"partition {rank} ({pdir}) has no edges; repartition with a "
+            f"smaller -k or a different method")
     h, r, t = tri[:, 0], tri[:, 1], tri[:, 2]
     # translate local ids back to global for the SPMD trainer (tables are
     # globally sharded; there is no per-machine KV namespace to hide)

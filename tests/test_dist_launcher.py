@@ -49,3 +49,47 @@ def test_failure_propagates_and_terminates(tmp_path, monkeypatch):
                           "--", "--dataset", "FB15k"])
     assert rc == 3
     assert len(calls) == 2  # both ranks launched; survivor was terminated
+
+
+def test_forwarding_without_separator(tmp_path, monkeypatch):
+    """Flags forward with or without '--', quoted for the remote shell."""
+    p = tmp_path / "ip_config.txt"
+    p.write_text("h0\n")
+    cmds = []
+    real_popen = subprocess.Popen
+
+    def fake_popen(cmd, *a, **kw):
+        cmds.append(cmd)
+        return real_popen([sys.executable, "-c", "pass"])
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    rc = dist_train.main(["--path", "/w w", "--ip_config", str(p),
+                          "--model_name", "TransE_l2",
+                          "--delimiter", "\t"])
+    assert rc == 0
+    remote = cmds[0][-1]
+    assert "--model_name TransE_l2" in remote
+    assert "'/w w'" in remote            # path with space is quoted
+    assert "'\t'" in remote              # tab delimiter survives quoting
+    assert " -- " not in remote          # no stray separator forwarded
+
+    cmds.clear()
+    rc = dist_train.main(["--path", "/w", "--ip_config", str(p), "--",
+                          "--dataset", "FB15k"])
+    assert rc == 0
+    assert "-- --dataset" not in cmds[0][-1]
+    assert "--dataset FB15k" in cmds[0][-1]
+
+
+def test_empty_partition_clear_error(tmp_path):
+    from dglke_tpu.data.partition_dataset import load_partition
+    import numpy as np
+    pdir = tmp_path / "partition_0"
+    pdir.mkdir()
+    (pdir / "train.txt").write_text("")
+    np.savetxt(pdir / "local_to_global.txt", np.arange(3), fmt="%d")
+    (pdir / "relation_count.txt").write_text("2\n")
+    np.savetxt(pdir / "partition_book.txt", np.zeros(3), fmt="%d")
+    import pytest
+    with pytest.raises(ValueError, match="no edges"):
+        load_partition(str(tmp_path), 0)
