@@ -91,5 +91,8 @@ def test_empty_partition_clear_error(tmp_path):
     (pdir / "relation_count.txt").write_text("2\n")
     np.savetxt(pdir / "partition_book.txt", np.zeros(3), fmt="%d")
     import pytest
-    with pytest.raises(ValueError, match="no edges"):
+    import warnings
+    with pytest.raises(ValueError, match="no edges"), \
+            warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)  # loadtxt empty-file
         load_partition(str(tmp_path), 0)

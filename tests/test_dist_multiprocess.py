@@ -56,6 +56,20 @@ metrics = evaluate(cfg, ds, model, state, "test", log=lambda *a: None)
 assert 0.0 < metrics["MRR"] <= 1.0, metrics
 print(f"rank {rank} MRR {metrics['MRR']:.6f}")
 
+# collective sharded checkpoint (the Freebase-scale save): every process
+# writes its own shards, then restores into the same sharded layout
+from dglke_tpu.utils.io import load_sharded, save_sharded
+save_sharded(state, outdir)
+template = plan.put_state(model.init_state(jax.random.PRNGKey(cfg.seed)))
+restored = load_sharded(template, outdir)
+for got, want in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+    # multi-process arrays are not fully addressable: compare the shards
+    # THIS process owns
+    for sg, sw in zip(got.addressable_shards, want.addressable_shards):
+        np.testing.assert_array_equal(np.asarray(sg.data),
+                                      np.asarray(sw.data))
+print(f"rank {rank} sharded ckpt OK")
+
 # replicate + save on rank 0 (the CLI's dist save path)
 from jax.sharding import NamedSharding, PartitionSpec
 rep = NamedSharding(plan.mesh, PartitionSpec())
@@ -99,6 +113,7 @@ def test_two_process_vocab_sharded_training(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"rank {rank} OK" in out, out
+        assert f"rank {rank} sharded ckpt OK" in out, out
     # both ranks logged the SAME global MRR (cross-process aggregation)
     import re
     mrrs = sorted(re.findall(r"MRR (\d+\.\d+)", outs[0] + outs[1]))
