@@ -6,19 +6,34 @@ config behind DGL-KE's "167 s on 1x V100" number).  Baseline:
 24000 steps x 1000 triples / 167.1 s = 143.6k triples/s on one V100
 (/root/reference/examples/fb15k/multi_gpu.sh "Script Result").
 
-Timing protocol: the pipeline is fully device-resident (triples in HBM,
-batches + negatives sampled on device, steps fused into one scanned call);
-completion is FORCED by fetching the final loss to the host, because on the
-tunneled test platform block_until_ready does not reliably wait.
+Timing protocol (hardened against the tunneled-TPU flaps documented in
+CLAUDE.md — one degraded window must not poison the record):
+  * the pipeline is fully device-resident (triples in HBM, batches +
+    negatives sampled on device, steps fused into one scanned call);
+  * completion is FORCED by fetching the final loss to the host, because
+    on the tunneled test platform block_until_ready does not reliably wait;
+  * calls are timed in GROUPS of 4 (calls within a group pipeline without a
+    host sync, so the ~40 ms tunnel fence amortizes to ~2% of a group);
+  * warmup continues until two consecutive groups agree within 10%;
+  * throughput comes from the MEDIAN group, and if the max/min group spread
+    exceeds 3x the whole measurement is retried once.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...diag}.
 """
 
 import json
+import math
+import statistics
 import sys
 import time
 
 V100_TRIPLES_PER_S = 24000 * 1000 / 167.1  # reference 1-GPU FB15k anchor
+
+GROUP_CALLS = 4       # calls per fenced timing group
+N_GROUPS = 8          # groups per measurement
+STABLE_RTOL = 0.10    # consecutive-group agreement that ends warmup
+MAX_WARM_GROUPS = 8   # cap on stability-warmup groups
+RETRY_SPREAD = 3.0    # max/min group spread that triggers one retry
 
 
 def main():
@@ -51,24 +66,56 @@ def main():
             state, log = pipe.run_call(state)
         return float(log["loss"])  # host fetch = completion fence
 
-    # Warm one full epoch + 1: compiles BOTH jit variants (the straddling
-    # call that regenerates the next epoch's permutation is a second
-    # specialization — without this the 20s+ tunnel compile lands inside
-    # the timed window).
-    import math
-    run(math.ceil(4_096_000 / (cfg.steps_per_call * cfg.batch_size)) + 1)
-    s = cfg.steps_per_call
-    n_calls = 24
-    t0 = time.time()
-    final_loss = run(n_calls)
-    dt = time.time() - t0
-    triples_per_s = n_calls * s * cfg.batch_size / dt
+    def timed_group():
+        t0 = time.time()
+        run(GROUP_CALLS)
+        return time.time() - t0
+
+    # Compile warmup: one full epoch + 1 call compiles BOTH jit variants
+    # (the straddling call that regenerates the next epoch's permutation is
+    # a second specialization — without this the 20s+ tunnel compile lands
+    # inside the timed window).  Derived from the dataset so the two stay
+    # in sync.
+    calls_per_epoch = math.ceil(ds.n_train / (cfg.steps_per_call
+                                              * cfg.batch_size))
+    run(calls_per_epoch + 1)
+
+    # Stability warmup: keep timing single groups until two consecutive
+    # groups agree within STABLE_RTOL (the first post-compile groups can
+    # still carry cache/transfer residue; a flapping tunnel never settles
+    # and simply exhausts the cap — the retry logic below handles it).
+    prev = timed_group()
+    warm_groups = 1
+    for _ in range(MAX_WARM_GROUPS - 1):
+        cur = timed_group()
+        warm_groups += 1
+        if abs(cur - prev) <= STABLE_RTOL * min(cur, prev):
+            break
+        prev = cur
+
+    def measure():
+        return [timed_group() for _ in range(N_GROUPS)]
+
+    times = measure()
+    retried = False
+    if max(times) / min(times) > RETRY_SPREAD:
+        retried = True
+        times = measure()
+
+    median_group = statistics.median(times)
+    spread = max(times) / min(times)
+    triples_per_group = GROUP_CALLS * cfg.steps_per_call * cfg.batch_size
+    triples_per_s = triples_per_group / median_group
 
     print(json.dumps({
         "metric": "fb15k_transe_l2_train_throughput",
         "value": round(triples_per_s, 1),
         "unit": "triples/s",
         "vs_baseline": round(triples_per_s / V100_TRIPLES_PER_S, 3),
+        "median_group_s": round(median_group, 4),
+        "group_spread": round(spread, 3),
+        "warm_groups": warm_groups,
+        "retried": retried,
     }))
 
 
