@@ -113,3 +113,24 @@ def config_from_args(args: argparse.Namespace) -> KGEConfig:
     d = {k: v for k, v in vars(args).items() if k in fields}
     cfg = KGEConfig(**d)
     return cfg.with_compatible_batch_size().validate()
+
+
+def warn_inert_flags(args: argparse.Namespace, log=print) -> None:
+    """One startup line per accepted-but-inert compatibility flag, so a
+    user never gets a silently different protocol.  (The reference's
+    process/GPU knobs map onto the single SPMD program here: data
+    parallelism comes from the device mesh, not worker processes.)"""
+    if getattr(args, "num_proc", 1) > 1:
+        log("NOTE: --num_proc is a compatibility no-op — data parallelism "
+            "comes from the device mesh (all local devices are always "
+            "used); use --dist for multi-host")
+    if getattr(args, "force_sync_interval", -1) > 0:
+        log("NOTE: --force_sync_interval is a compatibility no-op — the "
+            "SPMD step is synchronous by construction")
+    if getattr(args, "mix_cpu_gpu", False):
+        log("NOTE: --mix_cpu_gpu is a compatibility no-op — tables are "
+            "HBM-resident (sharded over the mesh when --table_sharding "
+            "vocab)")
+    if getattr(args, "num_thread", 1) > 1:
+        log("NOTE: --num_thread is a compatibility no-op — host sampling "
+            "is vectorized numpy / native C++")

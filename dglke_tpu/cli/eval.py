@@ -7,7 +7,8 @@ import argparse
 import dataclasses
 import os
 
-from dglke_tpu.cli.args import add_common_args, config_from_args
+from dglke_tpu.cli.args import add_common_args, config_from_args, \
+    warn_inert_flags
 from dglke_tpu.data.dataset import get_dataset
 from dglke_tpu.models.ke_model import KEModel
 from dglke_tpu.trainer import evaluate
@@ -23,6 +24,7 @@ def main(argv=None):
     parser.add_argument("--mix_cpu_gpu", action="store_true")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+    warn_inert_flags(args)
 
     # adopt model hyper-parameters from the checkpoint's config.json when
     # present so eval flags can stay minimal
@@ -50,8 +52,11 @@ def main(argv=None):
         template = model.init_state(jax.random.PRNGKey(cfg.seed))
         try:
             state = load_sharded(template, args.model_path)
-        except Exception:
-            if len(jax.devices()) <= 1:
+        except ValueError as e:
+            # only the layout mismatch falls through to the vocab-padded
+            # retry; real restore errors (corrupt ckpt, dtype mismatch)
+            # must surface as themselves
+            if "shape" not in str(e).lower() or len(jax.devices()) <= 1:
                 raise
             from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
             plan = ShardingPlan(make_mesh(len(jax.devices())),

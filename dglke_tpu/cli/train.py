@@ -8,7 +8,7 @@ import os
 import time
 
 from dglke_tpu.cli.args import add_common_args, add_train_args, \
-    config_from_args
+    config_from_args, warn_inert_flags
 from dglke_tpu.data.dataset import get_dataset
 from dglke_tpu.data.sampler import FilterIndex
 from dglke_tpu.models.ke_model import KEModel
@@ -37,6 +37,7 @@ def main(argv=None):
     add_train_args(parser)
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+    warn_inert_flags(args)
 
     if args.dist:
         import jax

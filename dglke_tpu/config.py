@@ -149,16 +149,31 @@ class KGEConfig:
             raise ValueError("loss cannot be pairwise and adversarial sampled")
         if self.pairwise and self.loss_genre not in ("Logistic", "Hinge"):
             raise ValueError(f"{self.loss_genre} loss cannot be pairwise")
+        if self.neg_deg_sample_eval:
+            # reference train.py:105: degree-based eval negatives cannot be
+            # combined with positive-edge filtering
+            if self.eval_filter:
+                raise ValueError(
+                    "--neg_deg_sample_eval requires --no_eval_filter")
+            if self.neg_sample_size_eval <= 0:
+                raise ValueError(
+                    "--neg_deg_sample_eval needs sampled eval negatives: "
+                    "set --neg_sample_size_eval")
         return self
 
     def with_compatible_batch_size(self) -> "KGEConfig":
-        """Round batch size up to a multiple of neg_sample_size
-        (reference: utils.get_compatible_batch_size)."""
+        """Round batch sizes up to a multiple of their neg sample size
+        (reference: utils.get_compatible_batch_size, train.py:89-90)."""
         bs = self.batch_size
         n = self.neg_sample_size
         if n < bs and bs % n != 0:
             bs = int(math.ceil(bs / n) * n)
-        return dataclasses.replace(self, batch_size=bs)
+        bse = self.batch_size_eval
+        k = self.neg_sample_size_eval
+        if 0 < k < bse and bse % k != 0:
+            bse = int(math.ceil(bse / k) * k)
+        return dataclasses.replace(self, batch_size=bs,
+                                   batch_size_eval=bse)
 
     # -- config.json round trip (artifact-compatible with the reference) -----
     def to_json_dict(self, emap_file=None, rmap_file=None) -> dict:

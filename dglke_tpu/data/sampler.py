@@ -274,15 +274,27 @@ class FilterIndex:
         t = np.concatenate(ts).astype(np.int64)
         nr = dataset.n_relations
 
-        hr = h * nr + r
-        order = np.argsort(hr, kind="stable")
-        self._hr_keys = hr[order]
-        self._hr_tails = t[order].astype(np.int32)
+        # secondary sort by value id so each key's list is itself sorted —
+        # membership tests (sampled-negative false-neg masks) then reduce
+        # to a searchsorted within the key's range.  Duplicate (key, value)
+        # pairs (the same triple in several splits / repeated edges) are
+        # dropped: the full-ranking eval SUBTRACTS the filtered count from
+        # the total, so a duplicate would be subtracted twice and deflate
+        # the rank (the reference's masked-score filtering is idempotent
+        # per entity, general_models.py:463-471 — ours must be too).
+        def _sorted_unique(keys, vals):
+            order = np.lexsort((vals, keys))
+            keys, vals = keys[order], vals[order]
+            if len(keys):
+                fresh = np.empty(len(keys), bool)
+                fresh[0] = True
+                np.logical_or(keys[1:] != keys[:-1],
+                              vals[1:] != vals[:-1], out=fresh[1:])
+                keys, vals = keys[fresh], vals[fresh]
+            return keys, vals.astype(np.int32)
 
-        tr = t * nr + r
-        order = np.argsort(tr, kind="stable")
-        self._tr_keys = tr[order]
-        self._tr_heads = h[order].astype(np.int32)
+        self._hr_keys, self._hr_tails = _sorted_unique(h * nr + r, t)
+        self._tr_keys, self._tr_heads = _sorted_unique(t * nr + r, h)
         self._nr = nr
 
     def true_tails(self, h: int, r: int) -> np.ndarray:
@@ -296,6 +308,51 @@ class FilterIndex:
         lo = np.searchsorted(self._tr_keys, k, "left")
         hi = np.searchsorted(self._tr_keys, k, "right")
         return self._tr_heads[lo:hi]
+
+    def _bounds(self, mode: str, h, r, t):
+        """Vectorized range lookup: (values, lo [B], hi [B]) where
+        values[lo[i]:hi[i]] are row i's true heads (mode='head') or tails."""
+        if mode == "head":
+            keys, values = self._tr_keys, self._tr_heads
+            q = np.asarray(t, np.int64) * self._nr + np.asarray(r, np.int64)
+        else:
+            keys, values = self._hr_keys, self._hr_tails
+            q = np.asarray(h, np.int64) * self._nr + np.asarray(r, np.int64)
+        lo = np.searchsorted(keys, q, "left")
+        hi = np.searchsorted(keys, q, "right")
+        return values, lo, hi
+
+    def padded_lists(self, mode: str, h, r, t, pad_width=None):
+        """Padded per-row true-entity lists for a whole batch in ONE
+        vectorized pass (ids [B, F] int32, mask [B, F] float32) — replaces
+        the per-row python loop the reference's C++ EdgeSampler hid
+        (sampler.py:540-551 return_false_neg)."""
+        values, lo, hi = self._bounds(mode, h, r, t)
+        widths = hi - lo
+        f = pad_width or _pad_bucket(max(1, int(widths.max(initial=0))))
+        idx = lo[:, None] + np.arange(f)[None, :]
+        vals = values[np.minimum(idx, len(values) - 1)]
+        keep = np.arange(f)[None, :] < widths[:, None]
+        return (np.where(keep, vals, 0).astype(np.int32),
+                keep.astype(np.float32))
+
+    def false_neg_mask(self, mode: str, h, r, t, neg: np.ndarray):
+        """[B, K] float32 keep-mask over shared negative candidates `neg`:
+        0.0 where (neg_j) forms a TRUE triple with row i (a false negative
+        to exclude from ranking), 1.0 otherwise.  Mirrors the reference
+        EdgeSampler's return_false_neg bias (sampler.py:563-591)."""
+        values, lo, hi = self._bounds(mode, h, r, t)
+        b = len(lo)
+        keep = np.ones((b, len(neg)), np.float32)
+        for i in range(b):  # per-row: one K-element searchsorted (lists
+            lst = values[lo[i]:hi[i]]  # are value-sorted by construction)
+            if len(lst):
+                pos = np.searchsorted(lst, neg)
+                member = (pos < len(lst)) & (lst[np.minimum(pos,
+                                                            len(lst) - 1)]
+                                             == neg)
+                keep[i, member] = 0.0
+        return keep
 
 
 def _pad_bucket(n: int) -> int:
@@ -311,12 +368,24 @@ class EvalSampler:
     chunk-head / chunk-tail eval samplers). Per-rank striding via
     (rank, ranks).  Yields dicts with h/r/t [B] plus filter_ids/filter_mask
     [B, F] when filtering is on.
+
+    neg_sample_size > 0 and < n_entities selects SAMPLED-negative eval
+    (the reference's --neg_sample_size_eval protocol, e.g. wikikg2 K=500):
+    each batch additionally carries `neg` [K] — one shared uniform draw for
+    the whole batch, matching the reference's one-chunk eval batches
+    (create_neg_subgraph, sampler.py:495-501: B < chunk_size => num_chunks=1)
+    — plus, when filtering, `neg_keep` [B, K] (the EdgeSampler's
+    return_false_neg bias, sampler.py:563-591).  neg_deg_sample adds the
+    batch's own corrupted-side entities as extra candidates downstream
+    (general_models.py:395-434); it requires filtering OFF, as the
+    reference asserts (train.py:105).
     """
 
     def __init__(self, dataset: KGDataset, split: str, batch_size: int,
                  mode: str, filter_index: Optional[FilterIndex] = None,
                  eval_percent: float = 1.0, rank: int = 0, ranks: int = 1,
-                 seed: int = 0):
+                 seed: int = 0, neg_sample_size: int = -1,
+                 neg_deg_sample: bool = False):
         triples = getattr(dataset, split)
         assert triples is not None, f"dataset has no {split} split"
         h, r, t = (np.asarray(triples[0], np.int64),
@@ -334,6 +403,23 @@ class EvalSampler:
         self.mode = mode
         self.filter = filter_index
         self.n = len(self.h)
+        self.n_entities = dataset.n_entities
+        k = neg_sample_size if neg_sample_size is not None else -1
+        self.neg_sample_size = k if 0 < k < self.n_entities else 0
+        self.neg_deg_sample = neg_deg_sample
+        if neg_deg_sample and filter_index is not None:
+            # reference train.py:105: degree-based eval negatives cannot be
+            # combined with positive-edge filtering
+            raise ValueError("neg_deg_sample_eval requires --no_eval_filter")
+        if neg_deg_sample and self.neg_sample_size == 0:
+            raise ValueError(
+                "neg_deg_sample_eval needs sampled negatives: set "
+                "--neg_sample_size_eval < n_entities")
+        # distinct per (rank, mode) so head/tail samplers and dist ranks
+        # draw independent negatives
+        self._rng = np.random.RandomState(
+            (seed + 7919 * rank + (0 if mode == "head" else 104729))
+            % (2**31 - 1))
 
     def __len__(self):
         return -(-self.n // self.batch_size)
@@ -355,19 +441,17 @@ class EvalSampler:
                 "t": t.astype(np.int32), "n_valid": nb,
                 "neg_head": self.mode == "head",
             }
-            if self.filter is not None:
-                lists = []
-                for i in range(b):
-                    if self.mode == "head":
-                        lists.append(self.filter.true_heads(r[i], t[i]))
-                    else:
-                        lists.append(self.filter.true_tails(h[i], r[i]))
-                width = _pad_bucket(max(1, max(len(l) for l in lists)))
-                ids = np.zeros((b, width), np.int32)
-                mask = np.zeros((b, width), np.float32)
-                for i, l in enumerate(lists):
-                    ids[i, :len(l)] = l
-                    mask[i, :len(l)] = 1.0
+            if self.neg_sample_size > 0:
+                neg = self._rng.randint(
+                    0, self.n_entities, self.neg_sample_size
+                ).astype(np.int32)
+                out["neg"] = neg
+                out["neg_deg_sample"] = self.neg_deg_sample
+                if self.filter is not None:
+                    out["neg_keep"] = self.filter.false_neg_mask(
+                        self.mode, h, r, t, neg)
+            elif self.filter is not None:
+                ids, mask = self.filter.padded_lists(self.mode, h, r, t)
                 out["filter_ids"] = ids
                 out["filter_mask"] = mask
             yield out

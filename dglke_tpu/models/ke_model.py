@@ -507,7 +507,6 @@ class KEModel:
         # count as ranking candidates.
         n_ent = self.n_entities
         n_blocks = -(-n_ent // block)
-        padded = n_blocks * block
 
         def score_block(start):
             ids = start + jnp.arange(block)
@@ -524,31 +523,105 @@ class KEModel:
                                  neg_sample_size=block)
             s = s.reshape(b, block)
             valid = (ids < n_ent)[None, :]
-            return jnp.sum((s >= pos[:, None]) & valid, axis=1)
+            ge = (s >= pos[:, None]) & valid
+            # Filtered candidates are counted by READING THE BLOCK'S OWN
+            # scores (a [B, F] take_along_axis into s where this block
+            # covers the id) rather than re-scoring them with a second
+            # kernel: the comparison against pos is then bit-identical in
+            # both counts BY CONSTRUCTION, so the subtraction below is
+            # exact even for ties (the chunked kernel forms can differ by
+            # an ulp, which flips `>=` on exact ties).  Also saves the
+            # second gather+score dispatch entirely.
+            local = filter_ids - start                          # [B, F]
+            in_blk = ((local >= 0) & (local < block)
+                      & (filter_mask > 0))
+            fs = jnp.take_along_axis(
+                s, jnp.clip(local, 0, block - 1), axis=1)       # [B, F]
+            fge = jnp.sum((fs >= pos[:, None]) & in_blk, axis=1)
+            return jnp.sum(ge, axis=1) - fge
 
         starts = jnp.arange(n_blocks) * block
         counts = jax.lax.map(score_block, starts)     # [n_blocks, B]
-        total_ge = jnp.sum(counts, axis=0)            # [B]
+        return jnp.maximum(jnp.sum(counts, axis=0), 0) + 1
 
-        # Scores at the filtered ids (padded), computed with the SAME
-        # neg-form kernel as the total count (one chunk per row), so that a
-        # filtered candidate's score is bit-identical in both counts and the
-        # subtraction is exact even for near-ties (the matmul-expansion
-        # distance differs from the direct form by a few ulps).
-        f = filter_ids.shape[1]
-        cand = gather_rows(state.entity, filter_ids.reshape(-1),
-                           dim=self.entity_dim)
+    def eval_ranks_sampled(self, state: TrainState, h, r, t, neg, neg_keep,
+                           *, neg_head: bool, neg_deg_sample: bool = False):
+        """Ranks against K SAMPLED shared negatives (the reference's
+        --neg_sample_size_eval protocol): rank_i = 1 + |{j kept :
+        score_i(neg_j) >= pos_i}|, where the whole batch shares one set of
+        K candidates (one-chunk eval batches, sampler.py:495-501) and
+        neg_keep [B, K] zeroes false negatives (edata['bias'] filtering,
+        general_models.py:463-471).
+
+        neg_deg_sample reproduces the reference quirk exactly
+        (general_models.py:395-434 + forward_test:473-478): the batch's own
+        corrupted-side entities are PREPENDED as candidates, the self-match
+        diagonal is multiplied by zero (not excluded), and the zeroed score
+        still participates in the >= pos comparison.
+        """
+        sf = self.score_fn
+        b = h.shape[0]
+        k = neg.shape[0]
+        h_rows = gather_rows(state.entity, h, dim=self.entity_dim)
+        t_rows = gather_rows(state.entity, t, dim=self.entity_dim)
+        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
+        proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim)
+                     if self.is_transr else None)
+        neg_rows = gather_rows(state.entity, neg, dim=self.entity_dim)
+
         if self.is_transr:
-            cand_p = sf.neg_project(cand, proj_rows, b)  # [B, 1, F, Dr]
-            fs = sf.neg_score(side.reshape(b, 1, -1), rel_rows, cand_p,
-                              neg_head=neg_head, num_chunks=b, chunk_size=1,
-                              neg_sample_size=f)
+            h_use = sf.project(h_rows, proj_rows)
+            t_use = sf.project(t_rows, proj_rows)
         else:
-            fs = sf.neg_score(side, rel_rows, cand, neg_head=neg_head,
-                              num_chunks=b, chunk_size=1, neg_sample_size=f)
-        fs = fs.reshape(b, f)
-        filt_ge = jnp.sum((fs >= pos[:, None]) & (filter_mask > 0), axis=1)
-        return jnp.maximum(total_ge - filt_ge, 0) + 1
+            h_use, t_use = h_rows, t_rows
+        pos = sf.pos_score(h_use, rel_rows, t_use)
+        side = t_use if neg_head else h_use
+
+        if neg_deg_sample:
+            # candidates = [own corrupted-side entities | sampled]; the
+            # diagonal (row i vs own node i) is zeroed below
+            own = h_rows if neg_head else t_rows
+            neg_rows = jnp.concatenate([own, neg_rows], axis=0)
+            k = b + k
+
+        if self.is_transr:
+            cand = sf.neg_project(neg_rows, proj_rows, 1)
+            s = sf.neg_score(side.reshape(1, b, -1), rel_rows, cand,
+                             neg_head=neg_head, num_chunks=1,
+                             chunk_size=b, neg_sample_size=k)
+        else:
+            s = sf.neg_score(side, rel_rows, neg_rows, neg_head=neg_head,
+                             num_chunks=1, chunk_size=b, neg_sample_size=k)
+        s = s.reshape(b, k)
+        if neg_deg_sample:
+            eye = jnp.eye(b, k, dtype=s.dtype)
+            s = s * (1.0 - eye)
+            # deg-sampled candidates are never filtered (filter is asserted
+            # off); pad the keep mask over the prepended own-node columns
+            keep = jnp.concatenate(
+                [jnp.ones((b, b), neg_keep.dtype), neg_keep], axis=1)
+        else:
+            keep = neg_keep
+        return jnp.sum((s >= pos[:, None]) & (keep > 0), axis=1) + 1
+
+    def make_sampled_eval_superstep(self):
+        """Fused sampled-negative eval: rank a GROUP of batches in one
+        device call (same dispatch-amortization as make_eval_superstep).
+        Inputs: h/r/t [G, B], neg [G, K], neg_keep [G, B, K]."""
+
+        def step(state, h, r, t, neg, neg_keep, neg_head, neg_deg_sample):
+            def body(carry, xs):
+                hh, rr, tt, nn, kk = xs
+                ranks = self.eval_ranks_sampled(
+                    state, hh, rr, tt, nn, kk, neg_head=neg_head,
+                    neg_deg_sample=neg_deg_sample)
+                return carry, ranks
+
+            _, ranks = jax.lax.scan(body, None, (h, r, t, neg, neg_keep))
+            return ranks
+
+        return jax.jit(step, static_argnames=("neg_head",
+                                              "neg_deg_sample"))
 
     def candidate_scores(self, state: TrainState, h, r, cand_ids, *,
                          neg_head: bool = False):

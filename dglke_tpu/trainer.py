@@ -342,7 +342,10 @@ def evaluate(config: KGEConfig, dataset: KGDataset, model: KEModel,
         EvalSampler(dataset, split, cfg.batch_size_eval, mode,
                     filter_index if cfg.eval_filter else None,
                     eval_percent=cfg.eval_percent,
-                    rank=jax.process_index(), ranks=jax.process_count())
+                    rank=jax.process_index(), ranks=jax.process_count(),
+                    seed=cfg.seed,
+                    neg_sample_size=cfg.neg_sample_size_eval,
+                    neg_deg_sample=cfg.neg_deg_sample_eval)
         for mode in ("head", "tail")
     ]
     return evaluate_with_samplers(model, state, samplers, phase=phase,
@@ -487,11 +490,16 @@ def evaluate_candidates(model: KEModel, state: TrainState,
                               (r <= 10).sum()], np.float64)
             tot = np.asarray(
                 multihost_utils.process_allgather(local)).sum(0)
+            if tot[0] == 0:
+                raise ValueError(
+                    "candidate evaluation saw zero queries on every rank")
             metrics = {"MRR": tot[2] / tot[0], "MR": tot[1] / tot[0],
                        "HITS@1": tot[3] / tot[0],
                        "HITS@3": tot[4] / tot[0],
                        "HITS@10": tot[5] / tot[0]}
         else:
+            if r.size == 0:
+                raise ValueError("candidate evaluation saw zero queries")
             metrics = metrics_from_ranks(r)
         for k, v in metrics.items():
             log(f"[{rank}]{mode} average {k}: {v}")
@@ -519,10 +527,12 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
     # Freebase scale; filter widths are re-padded to the group max.
     G = 32
     eval_fn = model.make_eval_superstep()
+    sampled_eval_fn = None
     all_ranks = []
     start = time.time()
 
     def flush(group):
+        nonlocal sampled_eval_fn
         nb = len(group)
         if nb == 0:
             return
@@ -531,6 +541,23 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
         hs = np.stack([g["h"] for g in pad])
         rs = np.stack([g["r"] for g in pad])
         ts = np.stack([g["t"] for g in pad])
+        if "neg" in pad[0]:
+            # sampled-negative protocol (--neg_sample_size_eval): rank
+            # against the batch's K shared candidates only
+            k = pad[0]["neg"].shape[0]
+            ns = np.stack([g["neg"] for g in pad])
+            if "neg_keep" in pad[0]:
+                keep = np.stack([g["neg_keep"] for g in pad])
+            else:
+                keep = np.ones((G, b, k), np.float32)
+            if sampled_eval_fn is None:
+                sampled_eval_fn = model.make_sampled_eval_superstep()
+            ranks = np.asarray(sampled_eval_fn(
+                state, hs, rs, ts, ns, keep, pad[0]["neg_head"],
+                pad[0].get("neg_deg_sample", False)))
+            for i, g in enumerate(group):
+                all_ranks.append(ranks[i][: g["n_valid"]])
+            return
         if "filter_ids" in pad[0]:
             f = max(g["filter_ids"].shape[1] for g in pad)
             fid = np.zeros((G, b, f), np.int32)
@@ -569,10 +596,17 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
                           (r <= 1).sum(), (r <= 3).sum(),
                           (r <= 10).sum()], np.float64)
         tot = np.asarray(multihost_utils.process_allgather(local)).sum(0)
+        if tot[0] == 0:
+            raise ValueError(
+                "evaluation saw zero edges on every rank (eval split "
+                "smaller than process count, or eval_percent too small)")
         metrics = {"MRR": tot[2] / tot[0], "MR": tot[1] / tot[0],
                    "HITS@1": tot[3] / tot[0], "HITS@3": tot[4] / tot[0],
                    "HITS@10": tot[5] / tot[0]}
     else:
+        if ranks.size == 0:
+            raise ValueError("evaluation saw zero edges (empty eval split "
+                             "or eval_percent too small)")
         metrics = metrics_from_ranks(ranks)
     for k, v in metrics.items():
         log(f"[0]{phase} average {k}: {v}")
