@@ -134,3 +134,8 @@ def warn_inert_flags(args: argparse.Namespace, log=print) -> None:
     if getattr(args, "num_thread", 1) > 1:
         log("NOTE: --num_thread is a compatibility no-op — host sampling "
             "is vectorized numpy / native C++")
+    if getattr(args, "rel_part", False) and not getattr(args, "dist",
+                                                        False):
+        log("NOTE: --rel_part only takes effect with --dist (it selects "
+            "soft relation partitioning of the edge list across hosts); "
+            "single-host training uses one global sampler")

@@ -22,9 +22,27 @@ def main(argv=None):
                         help="directory containing the saved checkpoint")
     parser.add_argument("--gpu", type=int, default=[-1], nargs="+")
     parser.add_argument("--mix_cpu_gpu", action="store_true")
+    parser.add_argument("--dist", action="store_true",
+                        help="multi-host eval: initialize jax.distributed "
+                             "from JAX_COORDINATOR_ADDRESS / "
+                             "JAX_NUM_PROCESSES / JAX_PROCESS_ID; each "
+                             "process ranks a stride of the eval split and "
+                             "metrics are allgathered (the reference forks "
+                             "num_proc test workers + an mp.Queue, "
+                             "eval.py:107-229)")
+    parser.add_argument("--table_sharding", default="replicated",
+                        choices=["replicated", "vocab"])
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     warn_inert_flags(args)
+
+    if args.dist:
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+            cluster_detection_method="deactivate")
 
     # adopt model hyper-parameters from the checkpoint's config.json when
     # present so eval flags can stay minimal
@@ -49,19 +67,28 @@ def main(argv=None):
         # the vocab-sharded one.
         import jax
         from dglke_tpu.utils.io import load_sharded
-        template = model.init_state(jax.random.PRNGKey(cfg.seed))
-        try:
-            state = load_sharded(template, args.model_path)
-        except ValueError as e:
-            # only the layout mismatch falls through to the vocab-padded
-            # retry; real restore errors (corrupt ckpt, dtype mismatch)
-            # must surface as themselves
-            if "shape" not in str(e).lower() or len(jax.devices()) <= 1:
-                raise
+
+        def vocab_template(tmpl):
             from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
             plan = ShardingPlan(make_mesh(len(jax.devices())),
                                 table_sharding="vocab")
-            state = load_sharded(plan.put_state(template), args.model_path)
+            return plan.put_state(tmpl)
+
+        template = model.init_state(jax.random.PRNGKey(cfg.seed))
+        if args.table_sharding == "vocab":
+            state = load_sharded(vocab_template(template), args.model_path)
+        else:
+            try:
+                state = load_sharded(template, args.model_path)
+            except ValueError as e:
+                # only the layout mismatch falls through to the vocab-padded
+                # retry; real restore errors (corrupt ckpt, dtype mismatch)
+                # must surface as themselves
+                if ("shape" not in str(e).lower()
+                        or len(jax.devices()) <= 1):
+                    raise
+                state = load_sharded(vocab_template(template),
+                                     args.model_path)
     else:
         state = load_model_state(cfg, model, args.model_path)
     evaluate(cfg, dataset, model, state, "test")

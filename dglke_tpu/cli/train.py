@@ -10,7 +10,7 @@ import time
 from dglke_tpu.cli.args import add_common_args, add_train_args, \
     config_from_args, warn_inert_flags
 from dglke_tpu.data.dataset import get_dataset
-from dglke_tpu.data.sampler import FilterIndex
+from dglke_tpu.data.sampler import FilterIndex, partition_for_host
 from dglke_tpu.models.ke_model import KEModel
 from dglke_tpu.trainer import evaluate, train
 from dglke_tpu.utils.io import save_model
@@ -44,7 +44,8 @@ def main(argv=None):
         jax.distributed.initialize(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]))
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+            cluster_detection_method="deactivate")
     cfg = prepare_save_path(cfg, multihost=args.dist)
 
     init_start = time.time()
@@ -63,6 +64,12 @@ def main(argv=None):
         dataset = get_dataset(cfg.data_path, cfg.dataset, cfg.format,
                               cfg.delimiter, cfg.data_files,
                               cfg.has_edge_importance)
+        if args.dist:
+            import jax
+            if jax.process_count() > 1:
+                dataset = partition_for_host(
+                    dataset, jax.process_index(), jax.process_count(),
+                    rel_part=cfg.rel_part)
     print(f"|Train|: {dataset.n_train}")
 
     import jax

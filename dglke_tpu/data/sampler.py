@@ -127,6 +127,36 @@ def soft_relation_partition(triples, n_parts: int, threshold: float = 0.05):
     return edge_parts, rel_parts, len(cross_rels) > 0, sorted(cross_rels)
 
 
+def partition_for_host(dataset: KGDataset, rank: int, n_parts: int,
+                       rel_part: bool = False) -> KGDataset:
+    """This host's locality-aware slice of the training edges — the in-situ
+    fallback when ``--dist`` runs WITHOUT offline ``dglke_tpu-partition``
+    artifacts.  Mirrors the reference's per-rank sampler feed
+    (dataloader/sampler.py:346-419 + train.py's TrainDataset): ``rel_part``
+    selects soft relation partitioning (each relation pinned to one rank so
+    its rows stay hot in that rank's update stream; heavy relations cross),
+    otherwise a seeded random split.  Eval splits and id maps stay global —
+    eval already strides by rank.
+
+    Every host must call this with the SAME dataset (the partition is
+    deterministic; there is no coordination).
+    """
+    if n_parts <= 1:
+        return dataset
+    if rel_part:
+        edge_parts, _, _, _ = soft_relation_partition(dataset.train, n_parts)
+    else:
+        edge_parts = random_partition(dataset.train, n_parts)
+    idx = np.sort(edge_parts[rank])
+    if len(idx) == 0:
+        raise ValueError(
+            f"host {rank}/{n_parts} received an empty edge partition "
+            f"({dataset.n_train} train edges)")
+    train = tuple(np.asarray(col)[idx] for col in dataset.train)
+    import dataclasses as _dc
+    return _dc.replace(dataset, train=train)
+
+
 # ---------------------------------------------------------------------------
 # Training sampler
 

@@ -179,6 +179,10 @@ def train(config: KGEConfig, dataset: KGDataset,
                 log(f"[proc 0]NOTE: {nm}={interval} is not a multiple of "
                     f"the fused call size {s}; it fires at the first "
                     f"step past each multiple of {interval}")
+    if cfg.async_update and s == 1:
+        log("[proc 0]NOTE: --async_update has no effect at fused call "
+            "size 1 (the one-step-deferred update only exists inside the "
+            "scanned superstep); training runs fully synchronous")
     pipe = None
     if device_pipe_mode and s > 1:
         pipe = DevicePipeline(model, dataset, cfg.batch_size,

@@ -25,6 +25,19 @@ from dglke_tpu.models.ke_model import KEModel, TrainState
 from dglke_tpu.ops.embedding import EmbeddingState
 
 
+def _atomic_save(path: str, arr: np.ndarray) -> None:
+    """np.save via tmp-file + os.replace so a crash mid-write never
+    corrupts an existing artifact (the periodic --save_interval
+    fault-tolerance checkpoint overwrites in place; it must survive the
+    very crash it exists to recover from)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def save_model(config: KGEConfig, model: KEModel, state: TrainState,
                save_path: Optional[str] = None, emap_file=None,
                rmap_file=None, save_opt_state: bool = True) -> str:
@@ -39,27 +52,29 @@ def save_model(config: KGEConfig, model: KEModel, state: TrainState,
     ent_emb = np.asarray(state.entity.emb)[:model.n_entities,
                                            :model.entity_dim]
     ent_ss = np.asarray(state.entity.state_sum)[:model.n_entities]
-    np.save(os.path.join(path, prefix + "entity.npy"),
-            ent_emb.astype(np.float32))
-    np.save(os.path.join(path, prefix + "relation.npy"),
-            np.asarray(state.relation.emb)[:, :model.relation_dim]
-            .astype(np.float32))
+    _atomic_save(os.path.join(path, prefix + "entity.npy"),
+                 ent_emb.astype(np.float32))
+    _atomic_save(os.path.join(path, prefix + "relation.npy"),
+                 np.asarray(state.relation.emb)[:, :model.relation_dim]
+                 .astype(np.float32))
     if state.projection is not None:
         # the reference spells this WITHOUT the separating underscore
         # (TransRScore.save: name + 'projection', score_fun.py:179-180);
         # match it so reference tooling can read our TransR checkpoints
-        np.save(os.path.join(path, prefix[:-1] + "projection.npy"),
-                np.asarray(state.projection.emb)[:, :model.proj_dim]
-                .astype(np.float32))
+        _atomic_save(os.path.join(path, prefix[:-1] + "projection.npy"),
+                     np.asarray(state.projection.emb)[:, :model.proj_dim]
+                     .astype(np.float32))
     if save_opt_state:
-        np.save(os.path.join(path, prefix + "entity_state.npy"), ent_ss)
-        np.save(os.path.join(path, prefix + "relation_state.npy"),
-                np.asarray(state.relation.state_sum))
+        _atomic_save(os.path.join(path, prefix + "entity_state.npy"),
+                     ent_ss)
+        _atomic_save(os.path.join(path, prefix + "relation_state.npy"),
+                     np.asarray(state.relation.state_sum))
         if state.projection is not None:
-            np.save(os.path.join(path, prefix + "projection_state.npy"),
-                    np.asarray(state.projection.state_sum))
-        np.save(os.path.join(path, prefix + "step.npy"),
-                np.asarray(state.step))
+            _atomic_save(os.path.join(path,
+                                      prefix + "projection_state.npy"),
+                         np.asarray(state.projection.state_sum))
+        _atomic_save(os.path.join(path, prefix + "step.npy"),
+                     np.asarray(state.step))
     config.save(path, emap_file, rmap_file)
     return path
 

@@ -83,12 +83,107 @@ print(f"rank {rank} OK")
 """
 
 
+# CLI-level worker: phase "train" runs `dglke_tpu-train --dist --rel_part
+# --sharded_ckpt --table_sharding vocab` (per-host soft-relation edge
+# partition computed IN SITU, no offline partition artifacts); phase "eval"
+# runs `dglke_tpu-eval --dist` on the saved sharded checkpoint — the
+# reference's multi-proc standalone test (eval.py:107-229).
+_CLI_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+rank, port, root, phase = sys.argv[1:5]
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = rank
+
+common = ["--model_name", "TransE_l2", "--dataset", "fakekg",
+          "--data_path", os.path.join(root, "data"),
+          "--format", "raw_udd_hrt",
+          "--data_files", "train.txt", "valid.txt", "test.txt",
+          "--hidden_dim", "8", "--gamma", "5.0",
+          "--batch_size_eval", "8"]
+if phase == "train":
+    from dglke_tpu.cli.train import main
+    rc = main(common + ["--batch_size", "32", "--neg_sample_size", "8",
+                        "--lr", "0.3", "--max_step", "20",
+                        "--log_interval", "10", "--dist", "--rel_part",
+                        "--sharded_ckpt", "--table_sharding", "vocab",
+                        "--save_path", os.path.join(root, "ckpts")])
+else:
+    from dglke_tpu.cli.eval import main
+    rc = main(common + ["--model_path",
+                        os.path.join(root, "ckpts", "TransE_l2_fakekg_0"),
+                        "--dist", "--table_sharding", "vocab"])
+assert rc == 0
+print(f"rank {rank} {phase} OK")
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def _run_pair(script_path, tmp_path, extra_args):
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script_path), str(rank), str(port),
+             str(tmp_path)] + extra_args,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=repo)
+        for rank in (0, 1)
+    ]
+    return [p.communicate(timeout=540)[0].decode() for p in procs], procs
+
+
+def test_dist_cli_train_then_eval(tmp_path):
+    """Two-process CLI round trip: train --dist (in-situ soft relation
+    partition via --rel_part, vocab-sharded tables, collective orbax save)
+    then the standalone eval CLI with --dist on that checkpoint; both ranks
+    must print identical global metrics."""
+    rng = np.random.RandomState(0)
+    data = tmp_path / "data"
+    data.mkdir()
+    rows = [f"e{rng.randint(80)}\tr{rng.randint(4)}\te{rng.randint(80)}"
+            for _ in range(900)]
+    (data / "train.txt").write_text("\n".join(rows[:800]) + "\n")
+    (data / "valid.txt").write_text("\n".join(rows[800:850]) + "\n")
+    (data / "test.txt").write_text("\n".join(rows[850:]) + "\n")
+
+    worker = tmp_path / "cli_worker.py"
+    worker.write_text(_CLI_WORKER)
+
+    outs, procs = _run_pair(worker, tmp_path, ["train"])
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"train rank {rank} failed:\n{out}"
+        assert f"rank {rank} train OK" in out, out
+    # each host trained on its own soft-relation partition of the 800 edges
+    import re
+    sizes = [int(re.search(r"\|Train\|: (\d+)", o).group(1)) for o in outs]
+    assert sum(sizes) == 800 and min(sizes) > 0, sizes
+    assert (tmp_path / "ckpts" / "TransE_l2_fakekg_0"
+            / "sharded_state").is_dir()
+
+    outs, procs = _run_pair(worker, tmp_path, ["eval"])
+    mrrs = []
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"eval rank {rank} failed:\n{out}"
+        assert f"rank {rank} eval OK" in out, out
+        mrrs += re.findall(r"Test average MRR: (\d+\.\d+)", out)
+    # both ranks computed (and agree on) the global aggregated MRR
+    assert len(mrrs) == 2 and mrrs[0] == mrrs[1], mrrs
+    assert 0.0 < float(mrrs[0]) <= 1.0
 
 
 def test_two_process_vocab_sharded_training(tmp_path):

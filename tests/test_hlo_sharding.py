@@ -1,0 +1,96 @@
+"""Compiled-HLO regression test for the vocab-sharded claim (PARITY.md):
+the entity table is NEVER all-gathered — every collective on the train
+hot path moves only batch-proportional data.  This is the SPMD equivalent
+of the reference's KVStore pull/push contract (kvserver.py:41-51: only the
+batch's rows ever cross the network), enforced against the partitioner's
+actual output so a future sharding regression fails CI."""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dglke_tpu.config import KGEConfig
+from dglke_tpu.data.dataset import synthetic_dataset
+from dglke_tpu.models.ke_model import KEModel
+from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
+from dglke_tpu.trainer import DevicePipeline
+
+N_ENT = 5000  # >> any batch-derived collective; padded table rows = 5000
+BATCH = 64
+NEG = 16
+
+# an HLO instruction like:  %all-gather.1 = s32[64]{0} all-gather(...)
+_COLLECTIVE = re.compile(
+    r"=\s+\(?([a-z0-9]+)\[([0-9,]*)\][^=]*?"
+    r"(all-gather|all-reduce|collective-permute|all-to-all|reduce-scatter)"
+    r"[.\s(]")
+
+
+def _collective_shapes(hlo: str):
+    out = []
+    for m in _COLLECTIVE.finditer(hlo):
+        dims = [int(d) for d in m.group(2).split(",") if d]
+        out.append((m.group(3), m.group(1), dims))
+    return out
+
+
+@pytest.fixture(scope="module")
+def vocab_sharded_hlo():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    cfg = KGEConfig(model_name="TransE_l2", hidden_dim=32, gamma=6.0,
+                    lr=0.1, batch_size=BATCH, neg_sample_size=NEG,
+                    steps_per_call=4)
+    ds = synthetic_dataset(n_entities=N_ENT, n_relations=11, n_train=2000)
+    plan = ShardingPlan(make_mesh(8), table_sharding="vocab")
+    model = KEModel(cfg, N_ENT, 11)
+    state = plan.put_state(model.init_state(jax.random.PRNGKey(0)))
+    pipe = DevicePipeline(model, ds, BATCH, cfg.num_chunks * NEG, 4,
+                          seed=0, plan=plan)
+    fn = model.make_device_pipeline_step(ds.n_train, BATCH,
+                                         cfg.num_chunks * NEG, 4,
+                                         donate=False, plan=plan)
+    lowered = fn.lower(state, pipe.triples, pipe.cur, pipe.nxt,
+                       jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                       jax.random.PRNGKey(0), refresh_next=False)
+    return lowered.compile().as_text()
+
+
+def test_no_full_table_allgather(vocab_sharded_hlo):
+    shapes = _collective_shapes(vocab_sharded_hlo)
+    assert shapes, "no collectives found — sharding silently dropped?"
+    # the largest legitimate collective is batch-derived: the fused
+    # [h|t|neg] row block is s*b-proportional (hundreds of rows), never
+    # table-proportional (N_ENT rows)
+    for kind, dtype, dims in shapes:
+        rows = dims[0] if dims else 1
+        assert rows < N_ENT // 2, (
+            f"{kind} of shape {dtype}{dims} moves table-scale data — "
+            "the vocab-sharded table is being gathered")
+
+
+def test_sharded_gather_uses_collectives(vocab_sharded_hlo):
+    """The sharded row movement exists (the partitioner did not silently
+    replicate the table instead): embedding rows (f32[..,32]) cross
+    devices via collective-permute / all-to-all / all-reduce."""
+    shapes = _collective_shapes(vocab_sharded_hlo)
+    row_moves = [s for s in shapes
+                 if s[1] == "f32" and len(s[2]) == 2 and s[2][1] == 32]
+    assert row_moves, (
+        "no f32 row-block collectives found — gather/scatter no longer "
+        "routes through the sharded table")
+
+
+def test_entity_table_parameter_stays_sharded(vocab_sharded_hlo):
+    """The entry computation's entity-table parameter keeps its [5000, 32]
+    global shape with a [8,1] device tiling (sharding={devices=[8,1]...}),
+    i.e. 625 rows per device."""
+    m = re.search(r"parameter\(\d+\)[^\n]*f32\[5000,32\][^\n]*",
+                  vocab_sharded_hlo)
+    n = re.search(r"f32\[625,32\]", vocab_sharded_hlo)
+    assert m is not None or n is not None, (
+        "entity table not found in sharded form in the compiled HLO")
