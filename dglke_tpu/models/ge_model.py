@@ -216,18 +216,14 @@ class BasicGEModel:
             return np.concatenate(outs)
 
         if is_transr:
-            # all-pairs with per-relation projection: block over relations.
-            cols = []
-            for j in range(len(rel)):
-                proj = jnp.asarray(self._project_transr(rel[j:j + 1])[0])
-                hp = jnp.matmul(h_emb, proj, precision="highest")
-                tp = jnp.matmul(t_emb, proj, precision="highest")
-                # TransR pos_score is gamma - L1 (score_functions.py)
-                s = sf.gamma - jnp.sum(jnp.abs(
-                    hp[:, None, :] + r_emb[j][None, None, :]
-                    - tp[None, :, :]), axis=-1)
-                cols.append(np.asarray(s)[:, None, :])
-            return np.concatenate(cols, axis=1)  # [H, R, T]
+            # all-pairs with per-relation projection, relations blocked on
+            # device (TransR pos_score is gamma - L1, score_functions.py)
+            from dglke_tpu.models.score_functions import \
+                transr_allpairs_score
+            proj = np.asarray(self._project_transr(rel))
+            return transr_allpairs_score(
+                h_emb, t_emb, proj, r_emb, sf.gamma,
+                sf.entity_dim, sf.relation_dim)  # [H, R, T]
 
         rows = []
         for i in range(0, len(head), batch_size):

@@ -138,21 +138,16 @@ class InferModel:
             return np.asarray(sf.pos_score(h_emb, r_emb, t_emb))
 
         if self.is_transr:
-            # all-pairs with per-relation projection: block over relations.
-            # NOTE: ge_model.BasicGEModel._infer_score has a sibling TransR
-            # block (new-API layout); keep scoring semantics in sync.
-            out = []
-            for j in range(r_emb.shape[0]):
-                proj = jnp.asarray(
-                    self.projection_emb[rel[j]]).reshape(
-                        self.entity_dim, self.relation_dim)
-                hp = jnp.matmul(h_emb, proj, precision="highest")
-                tp = jnp.matmul(t_emb, proj, precision="highest")
-                diff = hp[:, None, :] + r_emb[j][None, None, :] \
-                    - tp[None, :, :]
-                s = sf.gamma - jnp.sum(jnp.abs(diff), axis=-1)  # [H, T]
-                out.append(np.asarray(s)[:, None, :])
-            return np.concatenate(out, axis=1).reshape(-1)
+            # all-pairs with per-relation projection, relations blocked ON
+            # DEVICE (one einsum tile per dispatch, not one dispatch per
+            # relation).  NOTE: ge_model.BasicGEModel._infer_score has a
+            # sibling TransR block (new-API layout); both route through
+            # transr_allpairs_score to stay in sync.
+            from dglke_tpu.models.score_functions import \
+                transr_allpairs_score
+            return transr_allpairs_score(
+                h_emb, t_emb, self.projection_emb[rel], r_emb, sf.gamma,
+                self.entity_dim, self.relation_dim).reshape(-1)
 
         # block over heads to bound memory (reference blocks at 1024/2048)
         bs = max(1, self.batch_size)

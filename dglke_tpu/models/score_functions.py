@@ -193,6 +193,43 @@ class TransRScore(ScoreFunction):
         raise NotImplementedError("TransR infer goes through KEModel")
 
 
+@jax.jit
+def _transr_allpairs_tile(h_emb, t_emb, proj_t, r_t, gamma):
+    """One relation TILE of the TransR all-pairs score: [Rt, H, T] =
+    gamma - L1(h@P_r + r - t@P_r).  Both projections are single einsums
+    over the tile; the [Rt, H, T, Dr] difference stays inside one XLA
+    reduce-fusion (never materialized)."""
+    hp = jnp.einsum("hd,rde->rhe", h_emb, proj_t,
+                    preferred_element_type=jnp.float32, precision="highest")
+    tp = jnp.einsum("td,rde->rte", t_emb, proj_t,
+                    preferred_element_type=jnp.float32, precision="highest")
+    diff = hp[:, :, None, :] + r_t[:, None, None, :] - tp[:, None, :, :]
+    return gamma - jnp.sum(jnp.abs(diff), axis=-1)
+
+
+def transr_allpairs_score(h_emb, t_emb, proj, r_emb, gamma,
+                          entity_dim: int, relation_dim: int,
+                          budget: int = 1 << 25):
+    """TransR all-pairs inference scores [H, R, T], relations BLOCKED on
+    device: O(R / tile) dispatches instead of one per relation (1,345
+    single-relation dispatches cost ~54 s of tunnel RTT alone at 40 ms
+    each; reference contract: score_fun.py:138-168 prepare + TransR infer).
+    ``budget`` bounds the per-tile [Rt, H, T, Dr] reduce-fusion domain."""
+    import numpy as np
+    h_emb = jnp.asarray(h_emb)
+    t_emb = jnp.asarray(t_emb)
+    r_emb = jnp.asarray(r_emb)
+    proj = jnp.asarray(proj).reshape(-1, entity_dim, relation_dim)
+    hn, tn, rn = h_emb.shape[0], t_emb.shape[0], r_emb.shape[0]
+    rt = max(1, min(rn, budget // max(1, hn * tn * relation_dim)))
+    out = []
+    for j in range(0, rn, rt):
+        s = _transr_allpairs_tile(h_emb, t_emb, proj[j:j + rt],
+                                  r_emb[j:j + rt], gamma)
+        out.append(np.asarray(s).transpose(1, 0, 2))
+    return np.concatenate(out, axis=1)  # [H, R, T]
+
+
 # ---------------------------------------------------------------------------
 # DistMult
 

@@ -130,3 +130,30 @@ def test_pos_score_batch_shape(model):
     s = sf.pos_score(jnp.asarray(h), jnp.asarray(r), jnp.asarray(t))
     assert s.shape == (B,)
     assert np.isfinite(np.asarray(s)).all()
+
+
+def test_transr_allpairs_tiling_invariant():
+    """transr_allpairs_score is tile-size invariant: many small relation
+    tiles (budget forces Rt=1) give bit-identical scores to one big tile,
+    and match a per-relation numpy loop."""
+    import numpy as np
+    from dglke_tpu.models.score_functions import transr_allpairs_score
+    rng = np.random.RandomState(0)
+    hn, tn, rn, de, dr = 5, 6, 7, 4, 3
+    h = rng.randn(hn, de).astype(np.float32)
+    t = rng.randn(tn, de).astype(np.float32)
+    r = rng.randn(rn, dr).astype(np.float32)
+    proj = rng.randn(rn, de * dr).astype(np.float32)
+    big = transr_allpairs_score(h, t, proj, r, 5.0, de, dr)
+    small = transr_allpairs_score(h, t, proj, r, 5.0, de, dr, budget=1)
+    assert big.shape == (hn, rn, tn)
+    # tile size changes the einsum contraction grouping -> ulp-level only
+    np.testing.assert_allclose(big, small, rtol=1e-5, atol=1e-5)
+    # numpy brute force
+    want = np.empty((hn, rn, tn), np.float32)
+    for j in range(rn):
+        p = proj[j].reshape(de, dr)
+        hp, tp = h @ p, t @ p
+        want[:, j, :] = 5.0 - np.abs(
+            hp[:, None, :] + r[j][None, None, :] - tp[None, :, :]).sum(-1)
+    np.testing.assert_allclose(big, want, rtol=2e-5, atol=2e-5)
