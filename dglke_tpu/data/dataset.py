@@ -166,14 +166,60 @@ def _check_ranges(ds: KGDataset) -> KGDataset:
 # Built-in layouts
 
 
+DATASET_URL = "https://data.dgl.ai/dataset/{}.zip"
+
+
+def _download_and_extract(url: str, path: str, filename: str) -> None:
+    """Fetch + unzip a built-in dataset archive (reference
+    KGDataset.py:23-44 _download_and_extract, re-done with stdlib urllib —
+    no requests dependency).  An already-downloaded archive is only
+    re-fetched if it fails to unzip (same resume-on-corrupt loop)."""
+    import urllib.request
+    import zipfile
+
+    fn = os.path.join(path, filename)
+    for attempt in range(2):
+        if os.path.exists(fn):
+            try:
+                with zipfile.ZipFile(fn) as zf:
+                    zf.extractall(path)
+                return
+            except zipfile.BadZipFile:
+                if attempt:
+                    raise
+                os.remove(fn)
+        os.makedirs(path, exist_ok=True)
+        tmp = fn + ".part"
+        with urllib.request.urlopen(url, timeout=60) as r, \
+                open(tmp, "wb") as w:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                w.write(chunk)
+        os.replace(tmp, fn)
+
+
 def load_builtin(data_path: str, name: str) -> KGDataset:
     path = os.path.join(data_path, name)
     if not os.path.exists(path):
+        # mirror the reference's auto-download (KGDataset.py:197-213); in a
+        # zero-egress environment this fails fast with a clear pointer to
+        # the manual layout
+        url = DATASET_URL.format(name)
+        try:
+            _download_and_extract(url, data_path, f"{name}.zip")
+        except Exception as e:
+            raise FileNotFoundError(
+                f"Built-in dataset {name} not found at {path} and the "
+                f"download from {url} failed ({type(e).__name__}: {e}). "
+                "If this environment has no network egress, place the "
+                "standard layout (entities.dict, relations.dict, "
+                "train.txt, valid.txt, test.txt) there manually.") from e
+    if not os.path.exists(path):
         raise FileNotFoundError(
-            f"Built-in dataset {name} not found at {path}. This environment "
-            "has no network egress; place the standard layout "
-            "(entities.dict, relations.dict, train.txt, valid.txt, test.txt) "
-            "there manually.")
+            f"downloaded archive for {name} did not contain a {path}/ "
+            "directory — place the standard layout there manually")
     if name == "Freebase":
         return _load_freebase(path)
     e2i = _read_id_map(os.path.join(path, "entities.dict"))

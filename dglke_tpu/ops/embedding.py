@@ -113,22 +113,63 @@ def init_embedding(key: jax.Array, num: int, dim: int,
     pad columns zero); callers recover logical rows via
     ``gather_rows(..., dim=dim)`` and checkpoint save slices the pad off.
     """
-    emb = jax.random.uniform(key, (num, dim), dtype=jnp.float32,
-                             minval=-emb_init, maxval=emb_init).astype(dtype)
-    emb = maybe_pad_features(emb)
+    # One jitted program creates the final table directly: the bf16 cast
+    # FUSES into the RNG kernel (an eager uniform(...).astype(bf16)
+    # materializes a transient fp32 table first) and the lane padding is
+    # written in place (an eager pad would hold two full tables at once).
+    # Either transient would halve the single-chip capacity ceiling.
+    pdim = padded_dim(dim) if _should_pad_features(num, dim) else dim
+
+    def make(k):
+        # drawn at the PADDED shape with an elementwise mask (a jnp.pad of
+        # the logical-shape draw is a separate HLO that breaks the
+        # RNG->cast fusion and materializes the fp32 table: 14.9 GB at
+        # 10M x 400); padded tables therefore draw different (still
+        # seeded-deterministic) init values than unpadded ones
+        e = jax.random.uniform(k, (num, pdim), dtype=jnp.float32,
+                               minval=-emb_init, maxval=emb_init)
+        e = e.astype(dtype)
+        if pdim != dim:
+            e = jnp.where(jnp.arange(pdim) < dim, e, jnp.zeros((), dtype))
+        return e
+
+    emb = jax.jit(make)(key)
     # the Adagrad accumulator stays fp32 regardless of table dtype: its
     # monotone sum of squares underflows quickly in bf16
     return EmbeddingState(emb=emb,
                           state_sum=jnp.zeros((num,), jnp.float32))
 
 
+def _default_is_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _should_pad_features(num: int, dim: int) -> bool:
+    return (num >= _PALLAS_MIN_ROWS and dim % _LANE != 0
+            and (_pallas_rows_enabled() or _default_is_tpu()))
+
+
 def maybe_pad_features(emb: jnp.ndarray) -> jnp.ndarray:
-    """Zero-pad the feature dim to a lane multiple for tables that will use
-    the Pallas row kernels.  No-op on CPU/GPU, small tables, or when rows
+    """Zero-pad the feature dim of large tables to a lane multiple.
+
+    On TPU this is FREE in HBM — XLA already tiles a bf16 [N, 400] array
+    to 512 physical lanes (T(8,128)(2,1)) — but an explicitly [N, 512]
+    table keeps XLA's layout assignment in plain row-major: with a
+    sub-tile logical dim the device-pipeline step inserts two FULL-TABLE
+    transpose copies ({1,0} <-> {0,1} relayouts) that cannot alias the
+    donated input, capping single-chip capacity at ~half of HBM (a
+    10M x 400 bf16 table compiles to 17.1G > 15.75G; padded to 512 the
+    copies vanish and 12M x 512 = 11.4 GB trains at 903k triples/s —
+    tools/capacity_probe.py).  Also required by the Pallas row kernels
+    (full-tile DMAs).  The pad columns are zero forever: gathers slice
+    back to the logical dim, scatter deltas pad with zeros, checkpoint
+    save slices them off.  No-op on CPU/GPU, small tables, or when rows
     are already lane-aligned."""
     num, dim = emb.shape
-    if (num >= _PALLAS_MIN_ROWS and dim % _LANE != 0
-            and _pallas_rows_enabled()):
+    if _should_pad_features(num, dim):
         emb = jnp.pad(emb, ((0, 0), (0, padded_dim(dim) - dim)))
     return emb
 

@@ -95,13 +95,26 @@ def load_model_state(config: KGEConfig, model: KEModel, path: str
         else:
             ss = np.zeros((emb.shape[0],), np.float32)
         # the npy artifact is fp32; restore the configured storage dtype
-        # and the lane-padded layout init_embedding would have chosen
-        from dglke_tpu.ops.embedding import maybe_pad_features
+        # and the lane-padded layout init_embedding would have chosen.
+        # One donated jit fuses cast+pad so the fp32 staging buffer frees
+        # as the stored table materializes (at 10M x 400 the eager
+        # astype-then-pad chain holds three table-scale buffers at once).
+        from dglke_tpu.ops.embedding import _should_pad_features, padded_dim
         edt = (jnp.bfloat16 if config.emb_dtype == "bfloat16"
                else jnp.float32)
-        return EmbeddingState(
-            emb=maybe_pad_features(jnp.asarray(emb).astype(edt)),
-            state_sum=jnp.asarray(ss, jnp.float32))
+        num, dim = emb.shape
+        pad = (padded_dim(dim) - dim) if _should_pad_features(num, dim) \
+            else 0
+
+        def convert(x):
+            x = x.astype(edt)
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad)))
+            return x
+
+        emb = jax.jit(convert, donate_argnums=0)(jnp.asarray(emb))
+        return EmbeddingState(emb=emb,
+                              state_sum=jnp.asarray(ss, jnp.float32))
 
     entity = load_table("entity")
     relation = load_table("relation")

@@ -140,3 +140,68 @@ def test_freebase_layout(tmp_path):
 def test_synthetic():
     ds = synthetic_dataset(100, 4, 500, 50, 50)
     assert ds.train[0].max() < 100 and ds.train[1].max() < 4
+
+
+def _make_builtin_zip(tmp_path, name="FB15k"):
+    """Zip archive matching the reference's hosted layout: {name}/ with
+    entities.dict etc at the top level."""
+    import zipfile
+    src = tmp_path / "src" / name
+    os.makedirs(src)
+    write(str(src / "entities.dict"), ["0\t/m/a", "1\t/m/b", "2\t/m/c"])
+    write(str(src / "relations.dict"), ["0\t/loc"])
+    write(str(src / "train.txt"), ["/m/a\t/loc\t/m/b"])
+    write(str(src / "valid.txt"), ["/m/b\t/loc\t/m/c"])
+    write(str(src / "test.txt"), ["/m/c\t/loc\t/m/a"])
+    zpath = tmp_path / f"{name}.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for f in os.listdir(src):
+            zf.write(src / f, arcname=f"{name}/{f}")
+    return zpath
+
+
+def test_builtin_auto_download(tmp_path, monkeypatch):
+    """Missing built-in datasets are fetched + unzipped (the reference's
+    _download_and_extract, KGDataset.py:23-44), via a stubbed urlopen."""
+    import io
+    import urllib.request
+    zpath = _make_builtin_zip(tmp_path)
+    urls = []
+
+    def fake_urlopen(url, timeout=None):
+        urls.append(url)
+        return io.BytesIO(zpath.read_bytes())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    data_path = tmp_path / "data"
+    ds = get_dataset(str(data_path), "FB15k", "built_in")
+    assert ds.n_entities == 3
+    assert urls == ["https://data.dgl.ai/dataset/FB15k.zip"]
+    # second load: already on disk, no new fetch
+    ds = get_dataset(str(data_path), "FB15k", "built_in")
+    assert len(urls) == 1
+
+
+def test_builtin_corrupt_archive_refetched(tmp_path, monkeypatch):
+    import io
+    import urllib.request
+    zpath = _make_builtin_zip(tmp_path)
+    data_path = tmp_path / "data"
+    os.makedirs(data_path)
+    (data_path / "FB15k.zip").write_bytes(b"not a zip")
+    monkeypatch.setattr(
+        urllib.request, "urlopen",
+        lambda url, timeout=None: io.BytesIO(zpath.read_bytes()))
+    ds = get_dataset(str(data_path), "FB15k", "built_in")
+    assert ds.n_entities == 3
+
+
+def test_builtin_offline_clear_error(tmp_path, monkeypatch):
+    import urllib.request
+
+    def no_net(url, timeout=None):
+        raise OSError("no egress")
+
+    monkeypatch.setattr(urllib.request, "urlopen", no_net)
+    with pytest.raises(FileNotFoundError, match="no network egress"):
+        get_dataset(str(tmp_path / "data"), "FB15k", "built_in")
