@@ -326,6 +326,7 @@ class FilterIndex:
         self._hr_keys, self._hr_tails = _sorted_unique(h * nr + r, t)
         self._tr_keys, self._tr_heads = _sorted_unique(t * nr + r, h)
         self._nr = nr
+        self._ne = dataset.n_entities
 
     def true_tails(self, h: int, r: int) -> np.ndarray:
         k = h * self._nr + r
@@ -372,17 +373,30 @@ class FilterIndex:
         to exclude from ranking), 1.0 otherwise.  Mirrors the reference
         EdgeSampler's return_false_neg bias (sampler.py:563-591)."""
         values, lo, hi = self._bounds(mode, h, r, t)
-        b = len(lo)
-        keep = np.ones((b, len(neg)), np.float32)
-        for i in range(b):  # per-row: one K-element searchsorted (lists
-            lst = values[lo[i]:hi[i]]  # are value-sorted by construction)
-            if len(lst):
-                pos = np.searchsorted(lst, neg)
-                member = (pos < len(lst)) & (lst[np.minimum(pos,
-                                                            len(lst) - 1)]
-                                             == neg)
-                keep[i, member] = 0.0
-        return keep
+        widths = hi - lo
+        b, k = len(lo), len(neg)
+        # One vectorized pass for all B x K membership queries: each row's
+        # true-entity list is value-sorted (FilterIndex construction), so
+        # padding rows to the batch max width with an out-of-range sentinel
+        # (n_entities) and offsetting row i into its own disjoint integer
+        # block [i*stride, (i+1)*stride) yields one GLOBALLY sorted flat
+        # array -> a single searchsorted answers every (row, neg) query.
+        f = max(1, int(widths.max(initial=0)))
+        idx = lo[:, None] + np.arange(f)[None, :]
+        vals = values[np.minimum(idx, max(len(values) - 1, 0))].astype(
+            np.int64) if len(values) else np.zeros((b, f), np.int64)
+        pad = np.arange(f)[None, :] >= widths[:, None]
+        vals[pad] = self._ne
+        stride = np.int64(self._ne) + 1
+        rows = np.arange(b, dtype=np.int64)[:, None] * stride
+        flat = (vals + rows).ravel()
+        q = (neg.astype(np.int64)[None, :] + rows).ravel()
+        pos = np.searchsorted(flat, q)
+        member = (pos < flat.size) & (flat[np.minimum(pos, flat.size - 1)]
+                                      == q)
+        keep = np.ones(b * k, np.float32)
+        keep[member] = 0.0
+        return keep.reshape(b, k)
 
 
 def _pad_bucket(n: int) -> int:
