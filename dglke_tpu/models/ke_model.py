@@ -482,11 +482,18 @@ class KEModel:
         b = h.shape[0]
         sf = self.score_fn
         if block is None:
-            # matmul-form models can take big candidate tiles; broadcast-form
-            # models (L1 / RotatE / TransR) materialize [B, block, D] diffs,
-            # so keep their tiles smaller.
-            block = 16384 if sf.name in ("TransE_l2", "DistMult", "ComplEx",
-                                         "RESCAL", "SimplE") else 2048
+            if sf.name in ("TransE_l2", "DistMult", "ComplEx", "RESCAL",
+                           "SimplE"):
+                # matmul-form models can take big candidate tiles
+                block = 16384
+            else:
+                # broadcast-form models (L1 / RotatE / TransR) materialize
+                # a [B, block, D]-scale intermediate per tile; budget it to
+                # ~2^28 elements (1 GB fp32) so the flattened group eval
+                # (make_eval_superstep, B = G*batch) stays in HBM headroom
+                elems = max(1, b * max(self.entity_dim, self.relation_dim))
+                pow2 = 1 << (max(1, (1 << 28) // elems).bit_length() - 1)
+                block = int(min(2048, max(256, pow2)))
         h_rows = gather_rows(state.entity, h, dim=self.entity_dim)
         t_rows = gather_rows(state.entity, t, dim=self.entity_dim)
         rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
@@ -669,21 +676,27 @@ class KEModel:
 
         Per-batch dispatch dominates filtered eval on high-latency links
         (measured ~350 ms/call over the tunneled test TPU vs ~2 ms of
-        device work at batch 1024); scanning G batches per call amortizes
+        device work at batch 1024); grouping G batches per call amortizes
         it G-fold.  Inputs are stacked [G, B] ids and [G, B, F] filter
         lists; returns ranks [G, B].
+
+        The group is FLATTENED into one [G*B] mega-batch rather than
+        scanned: eval_ranks streams every candidate block past the batch,
+        so a scan of G batches reads the ENTIRE entity table G times per
+        call while the flattened batch reads it once (32x less candidate
+        HBM traffic at the trainer's G=32) and the score kernel becomes
+        one chunky [G*B, D] x [D, block] MXU matmul instead of G skinny
+        ones.  Ranking is purely per-row, so the flattening is exact.
         """
 
         def step(state, h, r, t, filter_ids, filter_mask, neg_head):
-            def body(carry, xs):
-                hh, rr, tt, fi, fm = xs
-                ranks = self.eval_ranks(state, hh, rr, tt, fi, fm,
-                                        neg_head=neg_head)
-                return carry, ranks
-
-            _, ranks = jax.lax.scan(body, None, (h, r, t, filter_ids,
-                                                 filter_mask))
-            return ranks
+            g, b = h.shape
+            f = filter_ids.shape[-1]
+            ranks = self.eval_ranks(
+                state, h.reshape(g * b), r.reshape(g * b), t.reshape(g * b),
+                filter_ids.reshape(g * b, f), filter_mask.reshape(g * b, f),
+                neg_head=neg_head)
+            return ranks.reshape(g, b)
 
         return jax.jit(step, static_argnames=("neg_head",))
 
