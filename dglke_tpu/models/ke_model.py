@@ -518,7 +518,8 @@ class KEModel:
         def score_block(start):
             ids = start + jnp.arange(block)
             ids_c = jnp.minimum(ids, n_ent - 1)
-            cand = gather_rows(state.entity, ids_c, dim=self.entity_dim)
+            cand = gather_rows(state.entity, ids_c, dim=self.entity_dim,
+                               sorted_ids=True)
             if self.is_transr:
                 cand_p = sf.neg_project(cand, proj_rows, 1)
                 s = sf.neg_score(side.reshape(1, b, -1), rel_rows, cand_p,

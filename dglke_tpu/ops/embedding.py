@@ -245,15 +245,20 @@ def sparse_adagrad_update(table: EmbeddingState, ids: jnp.ndarray,
 
 
 def gather_rows(table: EmbeddingState, ids: jnp.ndarray,
-                dtype=None, dim: int | None = None) -> jnp.ndarray:
+                dtype=None, dim: int | None = None,
+                sorted_ids: bool = False) -> jnp.ndarray:
     """Minibatch gather (the reference's ExternalEmbedding.__call__).
 
     ``dim`` is the table's LOGICAL feature width: lane-padded tables (see
-    ``init_embedding``) return rows sliced back to it.
+    ``init_embedding``) return rows sliced back to it.  ``sorted_ids``
+    passes the monotone-indices hint to XLA (eval candidate blocks are
+    iota slices).
     """
     if _pallas_ok(table.emb):
         from dglke_tpu.ops.pallas.rows import gather_rows as pallas_gather
         rows = pallas_gather(table.emb, ids)
+    elif sorted_ids:
+        rows = table.emb.at[ids].get(indices_are_sorted=True)
     else:
         rows = table.emb[ids]
     if dim is not None and rows.shape[-1] != dim:

@@ -84,8 +84,27 @@ def main():
                          (emb + 0, ssum + 0, jnp.int32(0)),
                          (emb, ids, grads))
 
+        # (d) scatter-add ceiling: pre-sorted unique ids (what a
+        # sort+segment-sum dedup pass would buy if XLA's unique-indices
+        # scatter is materially faster than the duplicate-tolerant one)
+        uids = np.sort(np.stack([
+            np.random.RandomState(s).choice(e, n, replace=False)
+            for s in range(8)])).astype(np.int32) if e >= n else None
+        tu = float("nan")
+        if uids is not None:
+            uids = jnp.asarray(uids)
+
+            def u_body(c, emb, uids, grads):
+                tab, i = c
+                rid = uids[i % 8]
+                return tab.at[rid].add(grads, indices_are_sorted=True,
+                                       unique_indices=True), i + 1
+            tu = timed_chain(scan_loop(u_body, steps),
+                             (emb + 0, jnp.int32(0)), (emb, uids, grads))
+
         print(f"E={e:>9,} D={d}: gather {tg*per:7.1f} us/step  "
-              f"scatter {ts*per:7.1f} us/step  adagrad {ta*per:7.1f} us/step",
+              f"scatter {ts*per:7.1f} us/step  adagrad {ta*per:7.1f} us/step"
+              f"  uniq-scatter {tu*per:7.1f} us/step",
               flush=True)
 
 
