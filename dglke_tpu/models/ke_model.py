@@ -618,15 +618,16 @@ class KEModel:
         Inputs: h/r/t [G, B], neg [G, K], neg_keep [G, B, K]."""
 
         def step(state, h, r, t, neg, neg_keep, neg_head, neg_deg_sample):
-            def body(carry, xs):
-                hh, rr, tt, nn, kk = xs
-                ranks = self.eval_ranks_sampled(
+            # vmap (not scan) over the group: the G per-batch [B,D]x[D,K]
+            # score einsums become ONE batched kernel — no sequential
+            # dependency between batches exists, so give XLA the whole
+            # group at once
+            def one(hh, rr, tt, nn, kk):
+                return self.eval_ranks_sampled(
                     state, hh, rr, tt, nn, kk, neg_head=neg_head,
                     neg_deg_sample=neg_deg_sample)
-                return carry, ranks
 
-            _, ranks = jax.lax.scan(body, None, (h, r, t, neg, neg_keep))
-            return ranks
+            return jax.vmap(one)(h, r, t, neg, neg_keep)
 
         return jax.jit(step, static_argnames=("neg_head",
                                               "neg_deg_sample"))
