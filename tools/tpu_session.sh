@@ -17,47 +17,8 @@ print('health ok', float(x[0,0]), round(time.time()-t0,1))" >> $LOG 2>&1 || { st
 stamp "bench.py (headline, XLA rows)"
 timeout 500 python bench.py >> $LOG 2>&1 || stamp "bench FAILED/HUNG"
 
-stamp "diag_bigvocab (gather/scatter/adagrad vs table size)"
-timeout 560 python -c "
-import sys; sys.path.insert(0, '.')
-import runpy; runpy.run_path('tools/diag_bigvocab.py', run_name='__main__')" >> $LOG 2>&1 || stamp "diag_bigvocab FAILED/HUNG"
 
-stamp "wikikg2 HLO copy check (table-shaped copies in the superstep)"
-timeout 560 python -c "
-import sys, re; sys.path.insert(0, '.')
-import jax, jax.numpy as jnp
-from dglke_tpu.config import KGEConfig
-from dglke_tpu.models.ke_model import KEModel
-NE, NR, NEDGE = 2_500_604, 535, 4_096_000
-cfg = KGEConfig(model_name='TransE_l2', hidden_dim=200, gamma=19.9, lr=0.25,
-                batch_size=1000, neg_sample_size=200,
-                neg_adversarial_sampling=True, steps_per_call=512)
-model = KEModel(cfg, NE, NR)
-state = jax.eval_shape(model.init_state, jax.random.PRNGKey(0))
-fn = model.make_device_pipeline_step(NEDGE, cfg.batch_size,
-                                     cfg.num_chunks * cfg.neg_sample_size,
-                                     cfg.steps_per_call)
-import numpy as np
-triples = jax.ShapeDtypeStruct((3, NEDGE), np.int32)
-perm = jax.ShapeDtypeStruct((NEDGE,), np.int32)
-i32 = jax.ShapeDtypeStruct((), np.int32)
-key = jax.ShapeDtypeStruct((2,), np.uint32)
-low = fn.lower(state, triples, perm, perm, i32, i32, i32, key,
-               refresh_next=False)
-txt = low.compile().as_text()
-dim = state.entity.emb.shape[1]
-pat = re.compile(rf'f32\[{NE},{dim}\]')
-hits = [l.strip()[:160] for l in txt.splitlines()
-        if ('copy' in l or 'transpose' in l) and pat.search(l)
-        and '=' in l]
-print(f'table [{NE},{dim}] copy/transpose ops: {len(hits)}')
-for h in hits[:6]: print(' ', h)" >> $LOG 2>&1 || stamp "hlo check FAILED/HUNG"
 
-stamp "bench_rows (XLA vs experimental Pallas)"
-timeout 420 python -c "
-import sys; sys.path.insert(0, '.')
-sys.argv = ['bench_rows.py']
-import runpy; runpy.run_path('tools/bench_rows.py', run_name='__main__')" >> $LOG 2>&1 || stamp "bench_rows FAILED/HUNG"
 
 stamp "fused filtered eval (FB15k shape)"
 timeout 500 python -c "
@@ -72,10 +33,20 @@ cfg = KGEConfig(model_name='TransE_l2', hidden_dim=400, gamma=19.9, lr=0.25,
                 batch_size=1000, neg_sample_size=200, batch_size_eval=64)
 model = KEModel(cfg, 14951, 1345)
 state = model.init_state(jax.random.PRNGKey(0))
-evaluate(cfg, ds, model, state, 'test', log=lambda *a: None)
-t0 = time.time(); evaluate(cfg, ds, model, state, 'test', log=lambda *a: None)
+from dglke_tpu.data.sampler import FilterIndex
+fi = FilterIndex(ds)
+evaluate(cfg, ds, model, state, 'test', filter_index=fi, log=lambda *a: None)
+t0 = time.time()
+evaluate(cfg, ds, model, state, 'test', filter_index=fi, log=lambda *a: None)
 dt = time.time() - t0
-print(f'fused eval: {10000/dt:.0f} edges/s')" >> $LOG 2>&1 || stamp "eval FAILED/HUNG"
+print(f'fused eval (B=64): {10000/dt:.0f} edges/s')
+import dataclasses
+cfg2 = dataclasses.replace(cfg, batch_size_eval=512)
+evaluate(cfg2, ds, model, state, 'test', filter_index=fi, log=lambda *a: None)
+t0 = time.time()
+evaluate(cfg2, ds, model, state, 'test', filter_index=fi, log=lambda *a: None)
+dt = time.time() - t0
+print(f'fused eval (B=512): {10000/dt:.0f} edges/s')" >> $LOG 2>&1 || stamp "eval FAILED/HUNG"
 
 stamp "large-vocab train (wikikg2 scale)"
 timeout 580 python -c "
