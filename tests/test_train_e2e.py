@@ -278,3 +278,41 @@ def test_structured_graph_solved_exactly():
     _, _, metrics, _ = _run(cfg, ds)
     assert metrics["MRR"] > 0.95, metrics
     assert metrics["HITS@1"] > 0.9, metrics
+
+
+def test_eval_pipeline_window_exact():
+    """The async-window eval dispatch (evaluate_with_samplers WINDOW=8)
+    must neither drop nor duplicate groups: with enough batches to force
+    mid-loop drains (> 8 groups of G=32 per mode), metrics must equal a
+    brute-force per-edge ranking."""
+    ds = synthetic_dataset(n_entities=60, n_relations=4, n_train=1200,
+                           n_valid=10, n_test=600, seed=11)
+    cfg = small_config(batch_size_eval=2)  # 300 batches -> 10 groups/mode
+    model = KEModel(cfg, ds.n_entities, ds.n_relations)
+    state = model.init_state(jax.random.PRNGKey(0))
+    metrics = evaluate(cfg, ds, model, state, "test", log=lambda *a: None)
+
+    # brute force: filtered rank of each test edge under both corruptions
+    fi = FilterIndex(ds)
+    emb = np.asarray(state.entity.emb)[:, : model.entity_dim]
+    rel = np.asarray(state.relation.emb)
+    h, r, t = (np.asarray(x) for x in ds.test[:3])
+    gamma = cfg.gamma
+    ranks = []
+    for i in range(len(h)):
+        for mode in ("head", "tail"):
+            if mode == "head":
+                diff = emb + rel[r[i]][None, :] - emb[t[i]][None, :]
+                pos = gamma - np.linalg.norm(emb[h[i]] + rel[r[i]] - emb[t[i]])
+                true = fi.true_heads(r[i], t[i])
+            else:
+                diff = emb[h[i]][None, :] + rel[r[i]][None, :] - emb
+                pos = gamma - np.linalg.norm(emb[h[i]] + rel[r[i]] - emb[t[i]])
+                true = fi.true_tails(h[i], r[i])
+            s = gamma - np.linalg.norm(diff, axis=1)
+            keep = np.ones(len(emb), bool)
+            keep[true] = False
+            ranks.append(1 + int(np.sum((s >= pos) & keep)))
+    ranks = np.asarray(ranks, np.float64)
+    assert abs(metrics["MR"] - ranks.mean()) < 1e-6, (metrics, ranks.mean())
+    assert abs(metrics["MRR"] - (1.0 / ranks).mean()) < 1e-9
