@@ -48,6 +48,11 @@ evaluate(cfg2, ds, model, state, 'test', filter_index=fi, log=lambda *a: None)
 dt = time.time() - t0
 print(f'fused eval (B=512): {10000/dt:.0f} edges/s')" >> $LOG 2>&1 || stamp "eval FAILED/HUNG"
 
+stamp "diag_relupdate (scatter vs dense one-hot Adagrad, small tables)"
+timeout 500 python -c "
+import sys; sys.path.insert(0, '.')
+import runpy; runpy.run_path('tools/diag_relupdate.py', run_name='__main__')" >> $LOG 2>&1 || stamp "relupdate FAILED/HUNG"
+
 stamp "large-vocab train (wikikg2 scale)"
 timeout 580 python -c "
 import sys, time; sys.path.insert(0, '.')
