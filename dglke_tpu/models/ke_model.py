@@ -70,6 +70,17 @@ class KEModel:
             pairwise=config.pairwise,
             margin=config.margin,
         )
+        # jitted-callable memo: jax's compilation cache is keyed on the
+        # function OBJECT, so handing callers a fresh jit-wrapped closure
+        # per make_* call silently recompiles on every use (measured ~7 s
+        # per evaluate() on the tunneled v5e — it dwarfed the actual eval)
+        self._jit_memo: dict = {}
+
+    def _memo(self, key, build):
+        fn = self._jit_memo.get(key)
+        if fn is None:
+            fn = self._jit_memo[key] = build()
+        return fn
 
     # -- state ---------------------------------------------------------------
 
@@ -629,8 +640,10 @@ class KEModel:
 
             return jax.vmap(one)(h, r, t, neg, neg_keep)
 
-        return jax.jit(step, static_argnames=("neg_head",
-                                              "neg_deg_sample"))
+        return self._memo(
+            "sampled_eval_superstep",
+            lambda: jax.jit(step, static_argnames=("neg_head",
+                                                   "neg_deg_sample")))
 
     def candidate_scores(self, state: TrainState, h, r, cand_ids, *,
                          neg_head: bool = False):
@@ -665,13 +678,16 @@ class KEModel:
                        if with_top else None)
             return (scores if with_scores else None), top_idx
 
-        return jax.jit(step)
+        return self._memo(("candidate_eval_step", top, with_scores, with_top),
+                          lambda: jax.jit(step))
 
     def make_eval_step(self):
         def step(state, h, r, t, filter_ids, filter_mask, neg_head):
             return self.eval_ranks(state, h, r, t, filter_ids, filter_mask,
                                    neg_head=neg_head)
-        return jax.jit(step, static_argnames=("neg_head",))
+        return self._memo(
+            "eval_step",
+            lambda: jax.jit(step, static_argnames=("neg_head",)))
 
     def make_eval_superstep(self):
         """Fused eval: rank a GROUP of batches in ONE device call.
@@ -700,7 +716,9 @@ class KEModel:
                 neg_head=neg_head)
             return ranks.reshape(g, b)
 
-        return jax.jit(step, static_argnames=("neg_head",))
+        return self._memo(
+            "eval_superstep",
+            lambda: jax.jit(step, static_argnames=("neg_head",)))
 
 
 def metrics_from_ranks(ranks: np.ndarray) -> Dict[str, float]:
