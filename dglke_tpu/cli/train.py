@@ -49,6 +49,7 @@ def main(argv=None):
     cfg = prepare_save_path(cfg, multihost=args.dist)
 
     init_start = time.time()
+    full_dataset = None   # unpartitioned dataset, kept for the eval filter
     if args.dist and args.partition_path is not None:
         # per-host edge partition (dglke_tpu-partition artifacts); the
         # entity table stays globally sharded over the pod mesh
@@ -67,6 +68,11 @@ def main(argv=None):
         if args.dist:
             import jax
             if jax.process_count() > 1:
+                # the eval filter must cover the FULL train split (the
+                # reference builds it over the whole graph, train.py:331);
+                # keep the unpartitioned dataset for FilterIndex below —
+                # partition_for_host replaces train with this host's slice
+                full_dataset = dataset
                 dataset = partition_for_host(
                     dataset, jax.process_index(), jax.process_count(),
                     rel_part=cfg.rel_part)
@@ -104,7 +110,7 @@ def main(argv=None):
 
     candidate_mode = dataset.valid_dict is not None or \
         dataset.test_dict is not None
-    filter_index = (FilterIndex(dataset)
+    filter_index = (FilterIndex(full_dataset or dataset)
                     if cfg.eval_filter and not candidate_mode else None)
     valid_samplers = None
     if args.valid and dataset.valid_dict is not None:
@@ -119,7 +125,9 @@ def main(argv=None):
             EvalSampler(dataset, "valid", cfg.batch_size_eval, mode,
                         filter_index, eval_percent=cfg.eval_percent,
                         rank=jax.process_index(),
-                        ranks=jax.process_count())
+                        ranks=jax.process_count(), seed=cfg.seed,
+                        neg_sample_size=cfg.neg_sample_size_eval,
+                        neg_deg_sample=cfg.neg_deg_sample_eval)
             for mode in ("head", "tail")
         ]
     cfg = dataclasses.replace(cfg, valid=args.valid)

@@ -501,10 +501,12 @@ class KEModel:
                 # broadcast-form models (L1 / RotatE / TransR) materialize
                 # a [B, block, D]-scale intermediate per tile; budget it to
                 # ~2^28 elements (1 GB fp32) so the flattened group eval
-                # (make_eval_superstep, B = G*batch) stays in HBM headroom
+                # (make_eval_superstep, B = G*batch) stays in HBM headroom.
+                # The budget wins over tile efficiency: a tiny floor beats
+                # an OOM at large flattened batches.
                 elems = max(1, b * max(self.entity_dim, self.relation_dim))
                 pow2 = 1 << (max(1, (1 << 28) // elems).bit_length() - 1)
-                block = int(min(2048, max(256, pow2)))
+                block = int(min(2048, max(32, pow2)))
         h_rows = gather_rows(state.entity, h, dim=self.entity_dim)
         t_rows = gather_rows(state.entity, t, dim=self.entity_dim)
         rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
@@ -564,7 +566,8 @@ class KEModel:
         return jnp.maximum(jnp.sum(counts, axis=0), 0) + 1
 
     def eval_ranks_sampled(self, state: TrainState, h, r, t, neg, neg_keep,
-                           *, neg_head: bool, neg_deg_sample: bool = False):
+                           *, neg_head: bool, neg_deg_sample: bool = False,
+                           n_valid=None):
         """Ranks against K SAMPLED shared negatives (the reference's
         --neg_sample_size_eval protocol): rank_i = 1 + |{j kept :
         score_i(neg_j) >= pos_i}|, where the whole batch shares one set of
@@ -616,9 +619,14 @@ class KEModel:
             eye = jnp.eye(b, k, dtype=s.dtype)
             s = s * (1.0 - eye)
             # deg-sampled candidates are never filtered (filter is asserted
-            # off); pad the keep mask over the prepended own-node columns
+            # off).  Own-node columns belonging to PADDED rows (a partial
+            # tail batch repeats row 0, sampler padding) are masked out:
+            # the reference ranks a short batch against only its nb own
+            # entities, not b phantom duplicates.
+            nv = b if n_valid is None else n_valid
+            own_keep = (jnp.arange(b)[None, :] < nv).astype(neg_keep.dtype)
             keep = jnp.concatenate(
-                [jnp.ones((b, b), neg_keep.dtype), neg_keep], axis=1)
+                [jnp.broadcast_to(own_keep, (b, b)), neg_keep], axis=1)
         else:
             keep = neg_keep
         return jnp.sum((s >= pos[:, None]) & (keep > 0), axis=1) + 1
@@ -626,19 +634,22 @@ class KEModel:
     def make_sampled_eval_superstep(self):
         """Fused sampled-negative eval: rank a GROUP of batches in one
         device call (same dispatch-amortization as make_eval_superstep).
-        Inputs: h/r/t [G, B], neg [G, K], neg_keep [G, B, K]."""
+        Inputs: h/r/t [G, B], neg [G, K], neg_keep [G, B, K], n_valid [G]
+        (real rows per batch — neg_deg_sample masks padded rows' own-node
+        candidate columns)."""
 
-        def step(state, h, r, t, neg, neg_keep, neg_head, neg_deg_sample):
+        def step(state, h, r, t, neg, neg_keep, n_valid, neg_head,
+                 neg_deg_sample):
             # vmap (not scan) over the group: the G per-batch [B,D]x[D,K]
             # score einsums become ONE batched kernel — no sequential
             # dependency between batches exists, so give XLA the whole
             # group at once
-            def one(hh, rr, tt, nn, kk):
+            def one(hh, rr, tt, nn, kk, nv):
                 return self.eval_ranks_sampled(
                     state, hh, rr, tt, nn, kk, neg_head=neg_head,
-                    neg_deg_sample=neg_deg_sample)
+                    neg_deg_sample=neg_deg_sample, n_valid=nv)
 
-            return jax.vmap(one)(h, r, t, neg, neg_keep)
+            return jax.vmap(one)(h, r, t, neg, neg_keep, n_valid)
 
         return self._memo(
             "sampled_eval_superstep",

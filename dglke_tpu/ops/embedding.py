@@ -148,30 +148,25 @@ def _default_is_tpu() -> bool:
 
 
 def _should_pad_features(num: int, dim: int) -> bool:
+    """Whether a [num, dim] table stores its feature dim lane-padded
+    (init_embedding draws at the padded shape; utils/io restores pad
+    columns on load; gathers slice back to the logical dim).
+
+    On TPU the padding is FREE in HBM — XLA already tiles a bf16
+    [N, 400] array to 512 physical lanes (T(8,128)(2,1)) — but an
+    explicitly [N, 512] table keeps XLA's layout assignment in plain
+    row-major: with a sub-tile logical dim the device-pipeline step
+    inserts two FULL-TABLE transpose copies ({1,0} <-> {0,1} relayouts)
+    that cannot alias the donated input, capping single-chip capacity at
+    ~half of HBM (a 10M x 400 bf16 table compiles to 17.1G > 15.75G;
+    padded to 512 the copies vanish and 12M x 512 = 11.4 GB trains at
+    903k triples/s — tools/capacity_probe.py).  Also required by the
+    Pallas row kernels (full-tile DMAs).  The pad columns are zero
+    forever: gathers slice back to the logical dim, scatter deltas pad
+    with zeros, checkpoint save slices them off.  Off on CPU/GPU, small
+    tables, and rows already lane-aligned."""
     return (num >= _PALLAS_MIN_ROWS and dim % _LANE != 0
             and (_pallas_rows_enabled() or _default_is_tpu()))
-
-
-def maybe_pad_features(emb: jnp.ndarray) -> jnp.ndarray:
-    """Zero-pad the feature dim of large tables to a lane multiple.
-
-    On TPU this is FREE in HBM — XLA already tiles a bf16 [N, 400] array
-    to 512 physical lanes (T(8,128)(2,1)) — but an explicitly [N, 512]
-    table keeps XLA's layout assignment in plain row-major: with a
-    sub-tile logical dim the device-pipeline step inserts two FULL-TABLE
-    transpose copies ({1,0} <-> {0,1} relayouts) that cannot alias the
-    donated input, capping single-chip capacity at ~half of HBM (a
-    10M x 400 bf16 table compiles to 17.1G > 15.75G; padded to 512 the
-    copies vanish and 12M x 512 = 11.4 GB trains at 903k triples/s —
-    tools/capacity_probe.py).  Also required by the Pallas row kernels
-    (full-tile DMAs).  The pad columns are zero forever: gathers slice
-    back to the logical dim, scatter deltas pad with zeros, checkpoint
-    save slices them off.  No-op on CPU/GPU, small tables, or when rows
-    are already lane-aligned."""
-    num, dim = emb.shape
-    if _should_pad_features(num, dim):
-        emb = jnp.pad(emb, ((0, 0), (0, padded_dim(dim) - dim)))
-    return emb
 
 
 def segment_dedup(ids: jnp.ndarray, grads: jnp.ndarray

@@ -553,6 +553,8 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
     WINDOW = 8
     eval_fn = model.make_eval_superstep()
     sampled_eval_fn = None
+    ones_keep: dict = {}  # cached constant all-ones keep masks (unfiltered
+    # sampled eval would otherwise allocate + upload ~33 MB per call)
     pending = []   # (device ranks [G, B], group) in dispatch order
     all_ranks = []
     start = time.time()
@@ -582,11 +584,17 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
             if "neg_keep" in pad[0]:
                 keep = np.stack([g["neg_keep"] for g in pad])
             else:
-                keep = np.ones((G, b, k), np.float32)
+                keep = ones_keep.get((G, b, k))
+                if keep is None:
+                    # device-resident constant: uploaded once, reused by
+                    # every unfiltered call
+                    keep = ones_keep[(G, b, k)] = jnp.ones((G, b, k),
+                                                           jnp.float32)
+            nv = np.asarray([g["n_valid"] for g in pad], np.int32)
             if sampled_eval_fn is None:
                 sampled_eval_fn = model.make_sampled_eval_superstep()
             pending.append((sampled_eval_fn(
-                state, hs, rs, ts, ns, keep, pad[0]["neg_head"],
+                state, hs, rs, ts, ns, keep, nv, pad[0]["neg_head"],
                 pad[0].get("neg_deg_sample", False)), group))
             return
         if "filter_ids" in pad[0]:

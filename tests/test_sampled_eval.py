@@ -229,3 +229,58 @@ def test_eval_batch_size_rounded_to_neg_multiple():
                     batch_size_eval=100, neg_sample_size_eval=16)
     cfg = cfg.with_compatible_batch_size()
     assert cfg.batch_size_eval % 16 == 0
+
+
+def test_neg_deg_sample_partial_batch_no_phantom_candidates():
+    """A partial tail batch (padded by repeating row 0) must NOT add its
+    padded rows' own entities as candidates: metrics over a split of 10
+    edges at batch 16 (one short batch) must equal the same eval at
+    batch 10 (no padding)."""
+    ds = synthetic_dataset(80, 3, 600, 10, 10)
+    base = dict(model_name="DistMult", hidden_dim=8,
+                neg_sample_size_eval=32, no_eval_filter=True,
+                neg_deg_sample_eval=True)
+    model = KEModel(KGEConfig(batch_size_eval=16, **base),
+                    ds.n_entities, ds.n_relations)
+    state = model.init_state(jax.random.PRNGKey(0))
+    m_pad = evaluate(KGEConfig(batch_size_eval=16, **base), ds, model,
+                     state, split="test", log=lambda *a: None)
+    m_exact = evaluate(KGEConfig(batch_size_eval=10, **base), ds, model,
+                       state, split="test", log=lambda *a: None)
+    assert m_pad == m_exact, (m_pad, m_exact)
+
+
+def test_valid_samplers_use_sampled_protocol(tmp_path):
+    """--valid with --neg_sample_size_eval must run the SAMPLED protocol in
+    training-time validation (cli/train.py valid sampler construction), not
+    silently fall back to full ranking: with K=4 candidates on 80 entities,
+    MR must be bounded by K+1."""
+    import re
+    from dglke_tpu.cli.train import main as train_main
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for name, n in (("train.txt", 400), ("valid.txt", 40), ("test.txt", 4)):
+        rows = rng.randint(0, 60, (n, 3))
+        rows[:, 1] %= 3
+        with open(d / name, "w") as f:
+            for a, b, c in rows:
+                f.write(f"e{a}\tr{b}\te{c}\n")
+    out = []
+    import contextlib, io as _io
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        train_main([
+            "--model_name", "DistMult", "--dataset", "fk",
+            "--data_path", str(d), "--format", "raw_udd_hrt",
+            "--data_files", "train.txt", "valid.txt", "test.txt",
+            "--batch_size", "16", "--neg_sample_size", "8",
+            "--hidden_dim", "8", "--gamma", "5.0", "--lr", "0.1",
+            "--max_step", "40", "--eval_interval", "20", "--valid",
+            "--batch_size_eval", "8", "--neg_sample_size_eval", "4",
+            "--no_eval_filter",
+            "--save_path", str(tmp_path / "ck"), "--no_save_emb"])
+    mrs = [float(m.group(1)) for m in
+           re.finditer(r"Valid average MR: ([0-9.]+)", buf.getvalue())]
+    assert mrs, buf.getvalue()
+    assert all(mr <= 5.0 for mr in mrs), mrs  # K+1 bound, not ~40 (full)
