@@ -153,3 +153,50 @@ def test_score_infer_reference_layout_transr(tmp_path):
     si.load_model()
     res = si.topK(np.array([0, 1]), np.array([0]), np.array([2, 3]), k=2)
     assert res and len(res[0]) > 0  # loaded + scored (ref projection file)
+
+
+ALL_MODELS = ["TransE_l1", "TransE_l2", "TransR", "DistMult", "ComplEx",
+              "RESCAL", "RotatE", "SimplE"]
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_score_infer_every_model_matches_pos_score(name, tmp_path):
+    """ScoreInfer's all-pairs broadcast path cross-checked against the
+    training-path pos_score on the expanded (h, r, t) cross product for
+    EVERY model family — the reference's test_infer.py strategy (infer vs
+    edge_func) widened to its test_topk.py model coverage."""
+    import jax
+    path = str(tmp_path)
+    kw = {}
+    if name == "RotatE":
+        kw["double_ent"] = True
+    cfg = KGEConfig(model_name=name, hidden_dim=DIM, gamma=4.0,
+                    dataset="toy", save_path=path, **kw)
+    model = KEModel(cfg, N_ENT, N_REL)
+    state = model.init_state(jax.random.PRNGKey(1))
+    save_model(cfg, model, state)
+
+    si = ScoreInfer(-1, cfg, path, "none")
+    si.load_model()
+    h, r, t = [1, 2, 3], [0, 1], [4, 5, 6, 7]
+    res = si.topK(h, r, t, exec_mode="all", k=8)
+
+    # oracle: the training-path positive score on each expanded triple,
+    # built at gamma=0 (sfunc='none' scores raw, ScoreInfer.load_model)
+    from dglke_tpu.models.score_functions import make_score_function
+    sf0, _, _ = make_score_function(name, 0.0, DIM, cfg.double_ent,
+                                    cfg.double_rel)
+    hh, rr, tt = np.meshgrid(h, r, t, indexing="ij")
+    hh, rr, tt = (x.reshape(-1).astype(np.int32) for x in (hh, rr, tt))
+    from dglke_tpu.ops.embedding import gather_rows
+    h_rows = gather_rows(state.entity, hh, dim=model.entity_dim)
+    t_rows = gather_rows(state.entity, tt, dim=model.entity_dim)
+    r_rows = gather_rows(state.relation, rr, dim=model.relation_dim)
+    if model.is_transr:
+        p_rows = gather_rows(state.projection, rr, dim=model.proj_dim)
+        h_rows = sf0.project(h_rows, p_rows)
+        t_rows = sf0.project(t_rows, p_rows)
+    naive = np.asarray(sf0.pos_score(h_rows, r_rows, t_rows))
+    order = np.argsort(-naive, kind="stable")[:8]
+    got = res[0][3]
+    np.testing.assert_allclose(got, naive[order], rtol=2e-4, atol=1e-4)
