@@ -240,3 +240,60 @@ def test_emb_sim_cli_sim_funcs(trained_ckpt, tmp_path, sfunc):
     ])
     assert rc == 0
     assert len(open(out_f).read().strip().split("\n")) == 1 + 2 * 3
+
+
+@pytest.mark.parametrize("fmt,files", [
+    ("h_r_t", ("head", "rel", "tail")),
+    ("h_*_t", ("head", "tail")),
+    ("*_r_t", ("rel", "tail")),
+    ("*_r_*", ("rel",)),
+    ("*_*_t", ("tail",)),
+])
+def test_predict_cli_all_formats(trained_ckpt, tmp_path, fmt, files):
+    """Remaining reference input formats (infer_score.py:27-77); h_r_* and
+    h_*_* covered above."""
+    from dglke_tpu.cli.predict import main as predict_main
+    lists = {"head": "1\n2\n", "rel": "0\n1\n", "tail": "4\n5\n6\n"}
+    paths = []
+    for name in files:
+        p = str(tmp_path / f"{name}.list")
+        with open(p, "w") as f:
+            f.write(lists[name])
+        paths.append(p)
+    out_f = str(tmp_path / "out.tsv")
+    rc = predict_main([
+        "--model_path", trained_ckpt, "--format", fmt,
+        "--data_files", *paths, "--topK", "5", "--output", out_f,
+    ])
+    assert rc == 0
+    lines = open(out_f).read().strip().split("\n")
+    assert lines[0] == "head\trel\ttail\tscore"
+    assert len(lines) == 6
+
+
+@pytest.mark.parametrize("fmt,files,n_out", [
+    ("l_r", ("left", "right"), 4),
+    ("*_r", ("right",), 4),
+    ("*", (), 4),
+])
+def test_emb_sim_cli_all_formats(trained_ckpt, tmp_path, fmt, files, n_out):
+    """Remaining reference emb_sim formats (infer_emb_sim.py); l_* covered
+    above."""
+    from dglke_tpu.cli.emb_sim import main as emb_sim_main
+    emb_file = os.path.join(trained_ckpt, "fakekg_TransE_l2_entity.npy")
+    lists = {"left": "0\n1\n", "right": "3\n4\n5\n"}
+    paths = []
+    for name in files:
+        p = str(tmp_path / f"{name}.list")
+        with open(p, "w") as f:
+            f.write(lists[name])
+        paths.append(p)
+    out_f = str(tmp_path / "sim.tsv")
+    args = ["--emb_file", emb_file, "--format", fmt,
+            "--topK", str(n_out), "--output", out_f]
+    if paths:
+        args += ["--data_files", *paths]
+    rc = emb_sim_main(args)
+    assert rc == 0
+    lines = open(out_f).read().strip().split("\n")
+    assert len(lines) >= 1 + n_out
