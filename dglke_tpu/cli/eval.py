@@ -59,6 +59,7 @@ def main(argv=None):
                           cfg.delimiter, cfg.data_files,
                           cfg.has_edge_importance)
     model = KEModel(cfg, dataset.n_entities, dataset.n_relations)
+    plan = None
     from dglke_tpu.utils.io import has_sharded
     if has_sharded(args.model_path):
         # sharded (orbax) checkpoint from --sharded_ckpt: the saved shapes
@@ -68,15 +69,17 @@ def main(argv=None):
         import jax
         from dglke_tpu.utils.io import load_sharded
 
-        def vocab_template(tmpl):
+        def vocab_plan():
+            nonlocal plan
             from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
             plan = ShardingPlan(make_mesh(len(jax.devices())),
                                 table_sharding="vocab")
-            return plan.put_state(tmpl)
+            return plan
 
         template = model.init_state(jax.random.PRNGKey(cfg.seed))
         if args.table_sharding == "vocab":
-            state = load_sharded(vocab_template(template), args.model_path)
+            state = load_sharded(vocab_plan().put_state(template),
+                                 args.model_path)
         else:
             try:
                 state = load_sharded(template, args.model_path)
@@ -87,11 +90,11 @@ def main(argv=None):
                 if ("shape" not in str(e).lower()
                         or len(jax.devices()) <= 1):
                     raise
-                state = load_sharded(vocab_template(template),
+                state = load_sharded(vocab_plan().put_state(template),
                                      args.model_path)
     else:
         state = load_model_state(cfg, model, args.model_path)
-    evaluate(cfg, dataset, model, state, "test")
+    evaluate(cfg, dataset, model, state, "test", plan=plan)
     return 0
 
 

@@ -201,7 +201,7 @@ def main(argv=None):
                                 rank=jax.process_index())
         elif dataset.test is not None:
             evaluate(cfg, dataset, model, state, "test",
-                     filter_index=filter_index)
+                     filter_index=filter_index, plan=plan)
     return 0
 
 

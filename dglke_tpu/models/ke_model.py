@@ -731,6 +731,123 @@ class KEModel:
             "eval_superstep",
             lambda: jax.jit(step, static_argnames=("neg_head",)))
 
+    def make_sharded_eval_superstep(self, plan):
+        """Vocab-sharded full-entity eval: score candidates WHERE THEIR ROWS
+        LIVE and move only counts.
+
+        The auto-SPMD partitioning of eval_ranks replicates every candidate
+        block before scoring — a table-scale all-reduce per call (measured
+        as f32[block, D] all-reduces in the compiled HLO), i.e. the whole
+        entity table crosses the mesh once per eval call.  This variant
+        shard_maps the candidate loop over the table axis: each device
+        scores its LOCAL contiguous rows (a dynamic-slice, no collective)
+        against the replicated batch and contributes per-row GE-counts;
+        one [G*B] psum combines them.  Collectives stay batch-proportional
+        — the eval-side completion of the KVStore pull contract
+        (PARITY.md #24, tests/test_hlo_sharding.py).
+
+        Rank semantics are identical to eval_ranks: filtered candidates
+        are counted from the block's own scores, so tie behavior matches
+        bit for bit; mesh-padded rows and the tail block's clamped rows
+        are masked out of both counts.
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        sf = self.score_fn
+        axis = plan.axis
+        n_ent = self.n_entities
+        ent_dim = self.entity_dim
+
+        def step(state, h, r, t, filter_ids, filter_mask, neg_head):
+            g, bb = h.shape
+            n = g * bb
+            f = filter_ids.shape[-1]
+            h_, r_, t_ = (x.reshape(n) for x in (h, r, t))
+            fid = filter_ids.reshape(n, f)
+            fm = filter_mask.reshape(n, f)
+
+            # batch-row gathers ride the auto-SPMD path (batch-proportional
+            # collectives over the sharded table)
+            h_rows = gather_rows(state.entity, h_, dim=ent_dim)
+            t_rows = gather_rows(state.entity, t_, dim=ent_dim)
+            rel_rows = gather_rows(state.relation, r_,
+                                   dim=self.relation_dim)
+            proj_rows = (gather_rows(state.projection, r_,
+                                     dim=self.proj_dim)
+                         if self.is_transr else None)
+            if self.is_transr:
+                h_use = sf.project(h_rows, proj_rows)
+                t_use = sf.project(t_rows, proj_rows)
+            else:
+                h_use, t_use = h_rows, t_rows
+            pos = sf.pos_score(h_use, rel_rows, t_use)
+            side = t_use if neg_head else h_use
+
+            rows_per = state.entity.emb.shape[0] // plan.n
+            if sf.name in ("TransE_l2", "DistMult", "ComplEx", "RESCAL",
+                           "SimplE"):
+                block = 16384
+            else:
+                elems = max(1, n * max(ent_dim, self.relation_dim))
+                pow2 = 1 << (max(1, (1 << 28) // elems).bit_length() - 1)
+                block = int(min(2048, max(32, pow2)))
+            block = min(block, rows_per)
+            n_blocks = -(-rows_per // block)
+
+            def count_local(emb_l, pos, side, rel_rows, proj_rows, fid, fm):
+                rows = emb_l.shape[0]
+                offset = jax.lax.axis_index(axis) * rows
+
+                def score_block(start):
+                    ids_l = start + jnp.arange(block)
+                    cand = emb_l[jnp.minimum(ids_l, rows - 1)][..., :ent_dim]
+                    gids = offset + ids_l
+                    if self.is_transr:
+                        cand_p = sf.neg_project(cand, proj_rows, 1)
+                        s = sf.neg_score(side.reshape(1, n, -1), rel_rows,
+                                         cand_p, neg_head=neg_head,
+                                         num_chunks=1, chunk_size=n,
+                                         neg_sample_size=block)
+                    else:
+                        s = sf.neg_score(side, rel_rows, cand,
+                                         neg_head=neg_head, num_chunks=1,
+                                         chunk_size=n,
+                                         neg_sample_size=block)
+                    s = s.reshape(n, block)
+                    valid = ((gids < n_ent) & (ids_l < rows))[None, :]
+                    ge = (s >= pos[:, None]) & valid
+                    # filtered ids are counted from THIS block's own scores
+                    # (bit-identical tie handling — see eval_ranks); the
+                    # (start + local < rows) term excludes ids whose row
+                    # lives in the NEXT shard but whose column here is a
+                    # clamped duplicate
+                    local = fid - (offset + start)
+                    in_blk = ((local >= 0) & (local < block)
+                              & ((start + local) < rows) & (fm > 0))
+                    fs = jnp.take_along_axis(
+                        s, jnp.clip(local, 0, block - 1), axis=1)
+                    fge = jnp.sum((fs >= pos[:, None]) & in_blk, axis=1)
+                    return jnp.sum(ge, axis=1) - fge
+
+                starts = jnp.arange(n_blocks) * block
+                counts = jnp.sum(jax.lax.map(score_block, starts), axis=0)
+                return jax.lax.psum(counts, axis)
+
+            in_specs = [P(axis, None)] + [P()] * 6
+            counts = shard_map(
+                count_local, mesh=plan.mesh, in_specs=tuple(in_specs),
+                out_specs=P(), check_vma=False)(
+                    state.entity.emb, pos, side, rel_rows,
+                    proj_rows if proj_rows is not None
+                    else jnp.zeros((), jnp.float32), fid, fm)
+            return (jnp.maximum(counts, 0) + 1).reshape(g, bb)
+
+        key = ("sharded_eval_superstep", axis,
+               tuple(d.id for d in plan.mesh.devices.flat))
+        return self._memo(
+            key, lambda: jax.jit(step, static_argnames=("neg_head",)))
+
 
 def metrics_from_ranks(ranks: np.ndarray) -> Dict[str, float]:
     """MRR / MR / HITS@{1,3,10} averaged, matching general_models.py:473-485."""

@@ -263,7 +263,7 @@ def train(config: KGEConfig, dataset: KGDataset,
             if (cfg.valid and valid_samplers is not None
                     and crossed(step, prev, cfg.eval_interval)):
                 evaluate_with_samplers(model, state, valid_samplers,
-                                       phase="Valid", log=log)
+                                       phase="Valid", log=log, plan=plan)
             if (save_fn is not None and cfg.save_interval > 0
                     and crossed(step, prev, cfg.save_interval)):
                 save_fn(state, step)
@@ -318,7 +318,7 @@ def train(config: KGEConfig, dataset: KGDataset,
         if (cfg.valid and valid_samplers is not None
                 and crossed(step, prev, cfg.eval_interval)):
             vm = evaluate_with_samplers(model, state, valid_samplers,
-                                        phase="Valid", log=log)
+                                        phase="Valid", log=log, plan=plan)
     if profiling:
         stop_profiler()
     total = time.time() - start
@@ -331,7 +331,8 @@ def train(config: KGEConfig, dataset: KGDataset,
 def evaluate(config: KGEConfig, dataset: KGDataset, model: KEModel,
              state: TrainState, split: str = "test",
              filter_index: Optional[FilterIndex] = None,
-             log=print, phase: str = "Test") -> Dict[str, float]:
+             log=print, phase: str = "Test",
+             plan=None) -> Dict[str, float]:
     """Filtered (or raw) ranking evaluation over both corrupt modes,
     mirroring the reference protocol: every eval triple is ranked under
     head-corruption AND tail-corruption; metrics average over both
@@ -353,7 +354,7 @@ def evaluate(config: KGEConfig, dataset: KGDataset, model: KEModel,
         for mode in ("head", "tail")
     ]
     return evaluate_with_samplers(model, state, samplers, phase=phase,
-                                  log=log)
+                                  log=log, plan=plan)
 
 
 class DevicePipeline:
@@ -532,7 +533,8 @@ def evaluate_candidates(model: KEModel, state: TrainState,
 
 
 def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
-                           phase: str = "Test", log=print) -> Dict[str, float]:
+                           phase: str = "Test", log=print,
+                           plan=None) -> Dict[str, float]:
     if any(isinstance(s, CandidateEvalSampler) for s in samplers):
         # candidate-list protocol (wikikg90M): one sampler, Valid-mode
         # metrics from the answer's rank among its candidates
@@ -551,7 +553,12 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
     # case at Freebase scale).
     G = 32
     WINDOW = 8
-    eval_fn = model.make_eval_superstep()
+    if plan is not None and plan.table_sharding == "vocab":
+        # vocab-sharded tables: score candidates where their rows live
+        # (shard_map) so eval collectives stay batch-proportional
+        eval_fn = model.make_sharded_eval_superstep(plan)
+    else:
+        eval_fn = model.make_eval_superstep()
     sampled_eval_fn = None
     ones_keep: dict = {}  # cached constant all-ones keep masks (unfiltered
     # sampled eval would otherwise allocate + upload ~33 MB per call)

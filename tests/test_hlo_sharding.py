@@ -94,3 +94,70 @@ def test_entity_table_parameter_stays_sharded(vocab_sharded_hlo):
     n = re.search(r"f32\[625,32\]", vocab_sharded_hlo)
     assert m is not None or n is not None, (
         "entity table not found in sharded form in the compiled HLO")
+
+
+@pytest.fixture(scope="module")
+def sharded_eval_setup():
+    """Vocab-sharded (mesh-padded, 5001 % 8 != 0) eval fixtures: replicated
+    state, sharded state, a batch with filter lists, and both eval fns."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    from dglke_tpu.data.sampler import FilterIndex
+    n_ent = 5001
+    ds = synthetic_dataset(n_ent, 7, 4000, 100, 100, seed=2)
+    cfg = KGEConfig(model_name="TransE_l2", hidden_dim=32, gamma=6.0,
+                    batch_size_eval=16)
+    model = KEModel(cfg, n_ent, 7)
+    state_rep = model.init_state(jax.random.PRNGKey(0))
+    plan = ShardingPlan(make_mesh(8), table_sharding="vocab")
+    state_sh = plan.put_state(state_rep)
+    fi = FilterIndex(ds)
+    h = np.asarray(ds.test[0][:32], np.int32).reshape(2, 16)
+    r = np.asarray(ds.test[1][:32], np.int32).reshape(2, 16)
+    t = np.asarray(ds.test[2][:32], np.int32).reshape(2, 16)
+    ids, mask = fi.padded_lists("tail", h.reshape(-1), r.reshape(-1),
+                                t.reshape(-1))
+    f = ids.shape[1]
+    fid = ids.reshape(2, 16, f)
+    fm = mask.reshape(2, 16, f)
+    return model, plan, state_rep, state_sh, (h, r, t, fid, fm)
+
+
+def test_sharded_eval_matches_replicated_exactly(sharded_eval_setup):
+    """The shard_map eval (candidates scored where their rows live) must be
+    rank-for-rank identical to the replicated path, both corruption modes,
+    over a mesh-padded vocab."""
+    model, plan, state_rep, state_sh, batch = sharded_eval_setup
+    h, r, t, fid, fm = batch
+    ref_fn = model.make_eval_superstep()
+    sh_fn = model.make_sharded_eval_superstep(plan)
+    for neg_head in (False, True):
+        a = np.asarray(ref_fn(state_rep, h, r, t, fid, fm, neg_head))
+        b = np.asarray(sh_fn(state_sh, h, r, t, fid, fm, neg_head))
+        assert np.array_equal(a, b)
+
+
+def test_sharded_eval_collectives_are_batch_proportional(sharded_eval_setup):
+    """The sharded eval's compiled HLO moves only batch-proportional data:
+    the auto-SPMD path all-reduces every candidate block (table-scale,
+    f32[block, D]); the shard_map path must only exchange batch row-blocks
+    and the [G*B] count psum."""
+    model, plan, state_sh, = (sharded_eval_setup[0], sharded_eval_setup[1],
+                              sharded_eval_setup[3])
+    h, r, t, fid, fm = sharded_eval_setup[4]
+    sh_fn = model.make_sharded_eval_superstep(plan)
+    lowered = sh_fn.lower(
+        state_sh,
+        jax.ShapeDtypeStruct(h.shape, np.int32),
+        jax.ShapeDtypeStruct(r.shape, np.int32),
+        jax.ShapeDtypeStruct(t.shape, np.int32),
+        jax.ShapeDtypeStruct(fid.shape, np.int32),
+        jax.ShapeDtypeStruct(fm.shape, np.float32), True)
+    shapes = _collective_shapes(lowered.compile().as_text())
+    assert shapes, "no collectives at all — sharding silently dropped?"
+    n = h.size  # 32 flattened eval rows
+    for kind, dtype, dims in shapes:
+        rows = dims[0] if dims else 1
+        assert rows <= 4 * n, (
+            f"{kind} of shape {dtype}{dims} moves more than "
+            "batch-proportional data in the sharded eval")
