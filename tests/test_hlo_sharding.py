@@ -161,3 +161,26 @@ def test_sharded_eval_collectives_are_batch_proportional(sharded_eval_setup):
         assert rows <= 4 * n, (
             f"{kind} of shape {dtype}{dims} moves more than "
             "batch-proportional data in the sharded eval")
+
+
+def test_sampled_eval_collectives_are_candidate_proportional():
+    """--neg_sample_size_eval over a vocab-sharded table: the K candidate
+    rows (not the table) cross the mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    n_ent, b, k, g = 5000, 16, 64, 4
+    cfg = KGEConfig(model_name="TransE_l2", hidden_dim=32, gamma=6.0)
+    plan = ShardingPlan(make_mesh(8), table_sharding="vocab")
+    model = KEModel(cfg, n_ent, 11)
+    state = plan.put_state(model.init_state(jax.random.PRNGKey(0)))
+    fn = model.make_sampled_eval_superstep()
+    i = lambda *s: jax.ShapeDtypeStruct(s, np.int32)  # noqa: E731
+    f = lambda *s: jax.ShapeDtypeStruct(s, np.float32)  # noqa: E731
+    txt = fn.lower(state, i(g, b), i(g, b), i(g, b), i(g, k), f(g, b, k),
+                   i(g), True, False).compile().as_text()
+    shapes = _collective_shapes(txt)
+    assert shapes
+    for kind, dtype, dims in shapes:
+        assert np.prod(dims or [1]) <= 4 * g * max(b, k) * 32, (
+            f"{kind} of shape {dtype}{dims} moves more than "
+            "candidate-proportional data in sampled eval")
