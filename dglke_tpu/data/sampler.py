@@ -355,7 +355,7 @@ class FilterIndex:
 
     def padded_lists(self, mode: str, h, r, t, pad_width=None):
         """Padded per-row true-entity lists for a whole batch in ONE
-        vectorized pass (ids [B, F] int32, mask [B, F] float32) — replaces
+        vectorized pass (ids [B, F] int32, mask [B, F] uint8) — replaces
         the per-row python loop the reference's C++ EdgeSampler hid
         (sampler.py:540-551 return_false_neg)."""
         values, lo, hi = self._bounds(mode, h, r, t)
@@ -364,11 +364,13 @@ class FilterIndex:
         idx = lo[:, None] + np.arange(f)[None, :]
         vals = values[np.minimum(idx, len(values) - 1)]
         keep = np.arange(f)[None, :] < widths[:, None]
+        # masks are consumed only via `> 0` comparisons; uint8 quarters
+        # the host->device transfer (the eval payload's biggest tensor)
         return (np.where(keep, vals, 0).astype(np.int32),
-                keep.astype(np.float32))
+                keep.astype(np.uint8))
 
     def false_neg_mask(self, mode: str, h, r, t, neg: np.ndarray):
-        """[B, K] float32 keep-mask over shared negative candidates `neg`:
+        """[B, K] uint8 keep-mask over shared negative candidates `neg`:
         0.0 where (neg_j) forms a TRUE triple with row i (a false negative
         to exclude from ranking), 1.0 otherwise.  Mirrors the reference
         EdgeSampler's return_false_neg bias (sampler.py:563-591)."""
@@ -394,8 +396,8 @@ class FilterIndex:
         pos = np.searchsorted(flat, q)
         member = (pos < flat.size) & (flat[np.minimum(pos, flat.size - 1)]
                                       == q)
-        keep = np.ones(b * k, np.float32)
-        keep[member] = 0.0
+        keep = np.ones(b * k, np.uint8)
+        keep[member] = 0
         return keep.reshape(b, k)
 
 

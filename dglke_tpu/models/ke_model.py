@@ -485,7 +485,7 @@ class KEModel:
 
         filter_ids: [B, F] padded entity ids whose triples exist in
         train/valid/test (includes the true head/tail); filter_mask: [B, F]
-        1.0 for real entries.  Blocked over the entity axis so the full
+        nonzero for real entries (uint8 on the wire).  Blocked over the entity axis so the full
         [B, n_entities] score matrix never materializes for broadcast-heavy
         models (TransE_l1 / RotatE).
         """

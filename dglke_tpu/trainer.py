@@ -596,7 +596,7 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
                     # device-resident constant: uploaded once, reused by
                     # every unfiltered call
                     keep = ones_keep[(G, b, k)] = jnp.ones((G, b, k),
-                                                           jnp.float32)
+                                                           jnp.uint8)
             nv = np.asarray([g["n_valid"] for g in pad], np.int32)
             if sampled_eval_fn is None:
                 sampled_eval_fn = model.make_sampled_eval_superstep()
@@ -607,14 +607,14 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
         if "filter_ids" in pad[0]:
             f = max(g["filter_ids"].shape[1] for g in pad)
             fid = np.zeros((G, b, f), np.int32)
-            fm = np.zeros((G, b, f), np.float32)
+            fm = np.zeros((G, b, f), np.uint8)
             for i, g in enumerate(pad):
                 w = g["filter_ids"].shape[1]
                 fid[i, :, :w] = g["filter_ids"]
                 fm[i, :, :w] = g["filter_mask"]
         else:  # unfiltered: empty filter list (mask 0 everywhere)
             fid = np.zeros((G, b, 8), np.int32)
-            fm = np.zeros((G, b, 8), np.float32)
+            fm = np.zeros((G, b, 8), np.uint8)
         pending.append((eval_fn(state, hs, rs, ts, fid, fm,
                                 pad[0]["neg_head"]), group))
 
