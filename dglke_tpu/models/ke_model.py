@@ -685,7 +685,9 @@ class KEModel:
         def step(state, query, cand):
             scores = self.candidate_scores(state, query[:, 0], query[:, 1],
                                            cand, neg_head=False)
-            top_idx = (jnp.argsort(-scores, axis=1)[:, :top]
+            # top_k, not a full argsort: K-proportional work, and its
+            # lowest-index-first tie order matches stable argsort(-scores)
+            top_idx = (jax.lax.top_k(scores, top)[1]
                        if with_top else None)
             return (scores if with_scores else None), top_idx
 
