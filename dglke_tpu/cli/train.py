@@ -112,20 +112,30 @@ def main(argv=None):
         dataset.test_dict is not None
     filter_index = (FilterIndex(full_dataset or dataset)
                     if cfg.eval_filter and not candidate_mode else None)
+    # eval striding: per-rank strides + allgathered partial sums with
+    # replicated tables; IDENTICAL batches on every process with a
+    # vocab-sharded table (trainer._global_eval — the batch enters the
+    # global mesh as a replicated input, so per-rank strides would mix
+    # different edges' counts in the psum)
+    from dglke_tpu.trainer import _global_eval
+    if _global_eval(plan):
+        eval_rank, eval_ranks_n = 0, 1
+    else:
+        eval_rank, eval_ranks_n = jax.process_index(), jax.process_count()
     valid_samplers = None
     if args.valid and dataset.valid_dict is not None:
         from dglke_tpu.trainer import CandidateEvalSampler
         valid_samplers = [CandidateEvalSampler(dataset.valid_dict,
                                                cfg.batch_size_eval,
-                                               rank=jax.process_index(),
-                                               ranks=jax.process_count())]
+                                               rank=eval_rank,
+                                               ranks=eval_ranks_n)]
     elif args.valid and dataset.valid is not None:
         from dglke_tpu.data.sampler import EvalSampler
         valid_samplers = [
             EvalSampler(dataset, "valid", cfg.batch_size_eval, mode,
                         filter_index, eval_percent=cfg.eval_percent,
-                        rank=jax.process_index(),
-                        ranks=jax.process_count(), seed=cfg.seed,
+                        rank=eval_rank,
+                        ranks=eval_ranks_n, seed=cfg.seed,
                         neg_sample_size=cfg.neg_sample_size_eval,
                         neg_deg_sample=cfg.neg_deg_sample_eval)
             for mode in ("head", "tail")
@@ -194,11 +204,17 @@ def main(argv=None):
                 evaluate_candidates
             sampler = CandidateEvalSampler(dataset.test_dict,
                                            cfg.batch_size_eval,
-                                           rank=jax.process_index(),
-                                           ranks=jax.process_count())
-            evaluate_candidates(model, state, sampler, mode="Test",
-                                save_path=cfg.save_path,
-                                rank=jax.process_index())
+                                           rank=eval_rank,
+                                           ranks=eval_ranks_n)
+            # under _global_eval the sampler is unstrided (identical
+            # batches everywhere); each rank slices its stride from the
+            # global predictions at pkl-write time
+            evaluate_candidates(
+                model, state, sampler, mode="Test",
+                save_path=cfg.save_path, rank=jax.process_index(),
+                plan=plan,
+                slice_ranks=(jax.process_count() if _global_eval(plan)
+                             else 1))
         elif dataset.test is not None:
             evaluate(cfg, dataset, model, state, "test",
                      filter_index=filter_index, plan=plan)

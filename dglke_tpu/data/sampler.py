@@ -371,9 +371,10 @@ class FilterIndex:
 
     def false_neg_mask(self, mode: str, h, r, t, neg: np.ndarray):
         """[B, K] uint8 keep-mask over shared negative candidates `neg`:
-        0.0 where (neg_j) forms a TRUE triple with row i (a false negative
-        to exclude from ranking), 1.0 otherwise.  Mirrors the reference
-        EdgeSampler's return_false_neg bias (sampler.py:563-591)."""
+        0 where (neg_j) forms a TRUE triple with row i (a false negative to
+        exclude from ranking), 1 otherwise — consumers compare `> 0`, never
+        multiply.  Mirrors the reference EdgeSampler's return_false_neg
+        bias (sampler.py:563-591)."""
         values, lo, hi = self._bounds(mode, h, r, t)
         widths = hi - lo
         b, k = len(lo), len(neg)

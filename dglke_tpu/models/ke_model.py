@@ -489,38 +489,11 @@ class KEModel:
         [B, n_entities] score matrix never materializes for broadcast-heavy
         models (TransE_l1 / RotatE).
         """
-        cfg = self.config
         b = h.shape[0]
-        sf = self.score_fn
         if block is None:
-            if sf.name in ("TransE_l2", "DistMult", "ComplEx", "RESCAL",
-                           "SimplE"):
-                # matmul-form models can take big candidate tiles
-                block = 16384
-            else:
-                # broadcast-form models (L1 / RotatE / TransR) materialize
-                # a [B, block, D]-scale intermediate per tile; budget it to
-                # ~2^28 elements (1 GB fp32) so the flattened group eval
-                # (make_eval_superstep, B = G*batch) stays in HBM headroom.
-                # The budget wins over tile efficiency: a tiny floor beats
-                # an OOM at large flattened batches.
-                elems = max(1, b * max(self.entity_dim, self.relation_dim))
-                pow2 = 1 << (max(1, (1 << 28) // elems).bit_length() - 1)
-                block = int(min(2048, max(32, pow2)))
-        h_rows = gather_rows(state.entity, h, dim=self.entity_dim)
-        t_rows = gather_rows(state.entity, t, dim=self.entity_dim)
-        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
-        proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim)
-                     if self.is_transr else None)
-
-        if self.is_transr:
-            h_use = sf.project(h_rows, proj_rows)
-            t_use = sf.project(t_rows, proj_rows)
-        else:
-            h_use, t_use = h_rows, t_rows
-        pos = sf.pos_score(h_use, rel_rows, t_use)
-
-        side = t_use if neg_head else h_use
+            block = self._eval_block_size(b)
+        pos, side, rel_rows, proj_rows = self._eval_pos_side(
+            state, h, r, t, neg_head=neg_head)
 
         # NOT the table shape: vocab-sharded tables are padded to a multiple
         # of the mesh size (ShardingPlan.put_state); padded rows must never
@@ -533,37 +506,88 @@ class KEModel:
             ids_c = jnp.minimum(ids, n_ent - 1)
             cand = gather_rows(state.entity, ids_c, dim=self.entity_dim,
                                sorted_ids=True)
-            if self.is_transr:
-                cand_p = sf.neg_project(cand, proj_rows, 1)
-                s = sf.neg_score(side.reshape(1, b, -1), rel_rows, cand_p,
-                                 neg_head=neg_head, num_chunks=1,
-                                 chunk_size=b, neg_sample_size=block)
-            else:
-                s = sf.neg_score(side, rel_rows, cand, neg_head=neg_head,
-                                 num_chunks=1, chunk_size=b,
-                                 neg_sample_size=block)
-            s = s.reshape(b, block)
-            valid = (ids < n_ent)[None, :]
-            ge = (s >= pos[:, None]) & valid
-            # Filtered candidates are counted by READING THE BLOCK'S OWN
-            # scores (a [B, F] take_along_axis into s where this block
-            # covers the id) rather than re-scoring them with a second
-            # kernel: the comparison against pos is then bit-identical in
-            # both counts BY CONSTRUCTION, so the subtraction below is
-            # exact even for ties (the chunked kernel forms can differ by
-            # an ulp, which flips `>=` on exact ties).  Also saves the
-            # second gather+score dispatch entirely.
+            valid = ids < n_ent
             local = filter_ids - start                          # [B, F]
             in_blk = ((local >= 0) & (local < block)
                       & (filter_mask > 0))
-            fs = jnp.take_along_axis(
-                s, jnp.clip(local, 0, block - 1), axis=1)       # [B, F]
-            fge = jnp.sum((fs >= pos[:, None]) & in_blk, axis=1)
-            return jnp.sum(ge, axis=1) - fge
+            return self._block_ge_counts(pos, side, rel_rows, proj_rows,
+                                         cand, valid, local, in_blk,
+                                         neg_head=neg_head)
 
         starts = jnp.arange(n_blocks) * block
         counts = jax.lax.map(score_block, starts)     # [n_blocks, B]
         return jnp.maximum(jnp.sum(counts, axis=0), 0) + 1
+
+    def _eval_block_size(self, b: int) -> int:
+        """Candidate tile width for block-streamed full-entity eval."""
+        if self.score_fn.name in ("TransE_l2", "DistMult", "ComplEx",
+                                  "RESCAL", "SimplE"):
+            # matmul-form models can take big candidate tiles
+            return 16384
+        # broadcast-form models (L1 / RotatE / TransR) materialize a
+        # [B, block, D]-scale intermediate per tile; budget it to ~2^28
+        # elements (1 GB fp32) so the flattened group eval
+        # (make_eval_superstep, B = G*batch) stays in HBM headroom.  The
+        # budget wins over tile efficiency: a tiny floor beats an OOM at
+        # large flattened batches.
+        elems = max(1, b * max(self.entity_dim, self.relation_dim))
+        pow2 = 1 << (max(1, (1 << 28) // elems).bit_length() - 1)
+        return int(min(2048, max(32, pow2)))
+
+    def _eval_pos_side(self, state: TrainState, h, r, t, *, neg_head: bool):
+        """Shared gather/project preamble of the full-entity eval paths:
+        (pos [B], side rows [B, D], rel rows, TransR proj rows or None)."""
+        sf = self.score_fn
+        h_rows = gather_rows(state.entity, h, dim=self.entity_dim)
+        t_rows = gather_rows(state.entity, t, dim=self.entity_dim)
+        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
+        proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim)
+                     if self.is_transr else None)
+        if self.is_transr:
+            h_use = sf.project(h_rows, proj_rows)
+            t_use = sf.project(t_rows, proj_rows)
+        else:
+            h_use, t_use = h_rows, t_rows
+        pos = sf.pos_score(h_use, rel_rows, t_use)
+        side = t_use if neg_head else h_use
+        return pos, side, rel_rows, proj_rows
+
+    def _block_ge_counts(self, pos, side, rel_rows, proj_rows, cand,
+                         valid_cols, local, in_blk, *, neg_head: bool):
+        """GE-count of one candidate block minus its filtered count.
+
+        Shared by eval_ranks and the shard_map variant so their tie
+        handling cannot drift.  Filtered candidates are counted by READING
+        THE BLOCK'S OWN scores (a [B, F] take_along_axis into s where this
+        block covers the id) rather than re-scoring them with a second
+        kernel: the comparison against pos is then bit-identical in both
+        counts BY CONSTRUCTION, so the subtraction is exact even for ties
+        (the chunked kernel forms can differ by an ulp, which flips `>=`
+        on exact ties).  Also saves the second gather+score dispatch.
+
+        cand: [block, D] candidate rows; valid_cols: [block] bool columns
+        that are real entities; local: [B, F] filter positions relative to
+        this block's start; in_blk: [B, F] bool — filter entries this
+        block owns.
+        """
+        sf = self.score_fn
+        b = pos.shape[0]
+        block = cand.shape[0]
+        if self.is_transr:
+            cand_p = sf.neg_project(cand, proj_rows, 1)
+            s = sf.neg_score(side.reshape(1, b, -1), rel_rows, cand_p,
+                             neg_head=neg_head, num_chunks=1,
+                             chunk_size=b, neg_sample_size=block)
+        else:
+            s = sf.neg_score(side, rel_rows, cand, neg_head=neg_head,
+                             num_chunks=1, chunk_size=b,
+                             neg_sample_size=block)
+        s = s.reshape(b, block)
+        ge = (s >= pos[:, None]) & valid_cols[None, :]
+        fs = jnp.take_along_axis(
+            s, jnp.clip(local, 0, block - 1), axis=1)           # [B, F]
+        fge = jnp.sum((fs >= pos[:, None]) & in_blk, axis=1)
+        return jnp.sum(ge, axis=1) - fge
 
     def eval_ranks_sampled(self, state: TrainState, h, r, t, neg, neg_keep,
                            *, neg_head: bool, neg_deg_sample: bool = False,
@@ -686,8 +710,9 @@ class KEModel:
             scores = self.candidate_scores(state, query[:, 0], query[:, 1],
                                            cand, neg_head=False)
             # top_k, not a full argsort: K-proportional work, and its
-            # lowest-index-first tie order matches stable argsort(-scores)
-            top_idx = (jax.lax.top_k(scores, top)[1]
+            # lowest-index-first tie order matches stable argsort(-scores);
+            # candidate lists narrower than `top` degrade to K columns
+            top_idx = (jax.lax.top_k(scores, min(top, scores.shape[1]))[1]
                        if with_top else None)
             return (scores if with_scores else None), top_idx
 
@@ -756,7 +781,6 @@ class KEModel:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        sf = self.score_fn
         axis = plan.axis
         n_ent = self.n_entities
         ent_dim = self.entity_dim
@@ -771,30 +795,11 @@ class KEModel:
 
             # batch-row gathers ride the auto-SPMD path (batch-proportional
             # collectives over the sharded table)
-            h_rows = gather_rows(state.entity, h_, dim=ent_dim)
-            t_rows = gather_rows(state.entity, t_, dim=ent_dim)
-            rel_rows = gather_rows(state.relation, r_,
-                                   dim=self.relation_dim)
-            proj_rows = (gather_rows(state.projection, r_,
-                                     dim=self.proj_dim)
-                         if self.is_transr else None)
-            if self.is_transr:
-                h_use = sf.project(h_rows, proj_rows)
-                t_use = sf.project(t_rows, proj_rows)
-            else:
-                h_use, t_use = h_rows, t_rows
-            pos = sf.pos_score(h_use, rel_rows, t_use)
-            side = t_use if neg_head else h_use
+            pos, side, rel_rows, proj_rows = self._eval_pos_side(
+                state, h_, r_, t_, neg_head=neg_head)
 
             rows_per = state.entity.emb.shape[0] // plan.n
-            if sf.name in ("TransE_l2", "DistMult", "ComplEx", "RESCAL",
-                           "SimplE"):
-                block = 16384
-            else:
-                elems = max(1, n * max(ent_dim, self.relation_dim))
-                pow2 = 1 << (max(1, (1 << 28) // elems).bit_length() - 1)
-                block = int(min(2048, max(32, pow2)))
-            block = min(block, rows_per)
+            block = min(self._eval_block_size(n), rows_per)
             n_blocks = -(-rows_per // block)
 
             def count_local(emb_l, pos, side, rel_rows, proj_rows, fid, fm):
@@ -805,32 +810,16 @@ class KEModel:
                     ids_l = start + jnp.arange(block)
                     cand = emb_l[jnp.minimum(ids_l, rows - 1)][..., :ent_dim]
                     gids = offset + ids_l
-                    if self.is_transr:
-                        cand_p = sf.neg_project(cand, proj_rows, 1)
-                        s = sf.neg_score(side.reshape(1, n, -1), rel_rows,
-                                         cand_p, neg_head=neg_head,
-                                         num_chunks=1, chunk_size=n,
-                                         neg_sample_size=block)
-                    else:
-                        s = sf.neg_score(side, rel_rows, cand,
-                                         neg_head=neg_head, num_chunks=1,
-                                         chunk_size=n,
-                                         neg_sample_size=block)
-                    s = s.reshape(n, block)
-                    valid = ((gids < n_ent) & (ids_l < rows))[None, :]
-                    ge = (s >= pos[:, None]) & valid
-                    # filtered ids are counted from THIS block's own scores
-                    # (bit-identical tie handling — see eval_ranks); the
-                    # (start + local < rows) term excludes ids whose row
-                    # lives in the NEXT shard but whose column here is a
-                    # clamped duplicate
+                    valid = (gids < n_ent) & (ids_l < rows)
+                    # the (start + local < rows) term excludes filter ids
+                    # whose row lives in the NEXT shard but whose column
+                    # here is a clamped duplicate
                     local = fid - (offset + start)
                     in_blk = ((local >= 0) & (local < block)
                               & ((start + local) < rows) & (fm > 0))
-                    fs = jnp.take_along_axis(
-                        s, jnp.clip(local, 0, block - 1), axis=1)
-                    fge = jnp.sum((fs >= pos[:, None]) & in_blk, axis=1)
-                    return jnp.sum(ge, axis=1) - fge
+                    return self._block_ge_counts(
+                        pos, side, rel_rows, proj_rows, cand, valid,
+                        local, in_blk, neg_head=neg_head)
 
                 starts = jnp.arange(n_blocks) * block
                 counts = jnp.sum(jax.lax.map(score_block, starts), axis=0)

@@ -340,14 +340,26 @@ def evaluate(config: KGEConfig, dataset: KGDataset, model: KEModel,
     cfg = config
     if cfg.eval_filter and filter_index is None:
         filter_index = FilterIndex(dataset)
-    # Multi-host: each process ranks its stride of the eval edges
-    # (reference EvalSampler rank striding, sampler.py:772-775); metrics
-    # are combined across processes in evaluate_with_samplers.
+    # Multi-host striding: with REPLICATED tables each process ranks its
+    # own stride of the eval edges (reference EvalSampler rank striding,
+    # sampler.py:772-775) and metrics combine via allgathered partial
+    # sums.  With a VOCAB-SHARDED table the batches enter a global-mesh
+    # jit as replicated inputs, so they MUST be identical on every
+    # process (per-rank strides would psum counts of DIFFERENT edges
+    # together — silently wrong metrics); parallelism instead comes from
+    # the table axis inside make_sharded_eval_superstep, and every rank
+    # computes the full global metrics locally.  The dataset and
+    # filter_index must therefore be host-identical under vocab sharding
+    # (pass the UNPARTITIONED dataset's filter).
+    if _global_eval(plan):
+        rank, ranks = 0, 1
+    else:
+        rank, ranks = jax.process_index(), jax.process_count()
     samplers = [
         EvalSampler(dataset, split, cfg.batch_size_eval, mode,
                     filter_index if cfg.eval_filter else None,
                     eval_percent=cfg.eval_percent,
-                    rank=jax.process_index(), ranks=jax.process_count(),
+                    rank=rank, ranks=ranks,
                     seed=cfg.seed,
                     neg_sample_size=cfg.neg_sample_size_eval,
                     neg_deg_sample=cfg.neg_deg_sample_eval)
@@ -355,6 +367,14 @@ def evaluate(config: KGEConfig, dataset: KGDataset, model: KEModel,
     ]
     return evaluate_with_samplers(model, state, samplers, phase=phase,
                                   log=log, plan=plan)
+
+
+def _global_eval(plan) -> bool:
+    """True when eval batches must be host-identical and metrics are
+    computed globally on every rank (vocab-sharded table + multi-process:
+    the batch rides the global mesh as a replicated input)."""
+    return (plan is not None and plan.table_sharding == "vocab"
+            and jax.process_count() > 1)
 
 
 class DevicePipeline:
@@ -459,10 +479,17 @@ class CandidateEvalSampler:
 def evaluate_candidates(model: KEModel, state: TrainState,
                         sampler: CandidateEvalSampler, mode: str = "Valid",
                         save_path: Optional[str] = None, rank: int = 0,
-                        log=print) -> Optional[Dict[str, float]]:
+                        log=print, plan=None,
+                        slice_ranks: int = 1) -> Optional[Dict[str, float]]:
     """Candidate-list eval: Valid mode computes MRR/MR/Hits@k from the true
     answer's rank among its candidates; Test mode writes test_{rank}.pkl with
-    top-10 predictions (reference train_pytorch.py:208-234)."""
+    top-10 predictions (reference train_pytorch.py:208-234).
+
+    Under _global_eval(plan) the caller must feed an UNSTRIDED sampler
+    (identical batches on every process — see evaluate); metrics then come
+    out globally on every rank, and Test mode slices `rank::slice_ranks`
+    from the global predictions at write time so the per-rank pkl artifact
+    layout matches the reference's strided protocol."""
     import pickle
 
     eval_fn = model.make_candidate_eval_step(
@@ -500,7 +527,7 @@ def evaluate_candidates(model: KEModel, state: TrainState,
     if mode == "Valid":
         r = (np.concatenate(all_ranks).astype(np.float64) if all_ranks
              else np.zeros((0,), np.float64))
-        if jax.process_count() > 1:
+        if jax.process_count() > 1 and not _global_eval(plan):
             # combine partial sums across ranks (strided sampler), same
             # as evaluate_with_samplers
             from jax.experimental import multihost_utils
@@ -523,9 +550,10 @@ def evaluate_candidates(model: KEModel, state: TrainState,
         for k, v in metrics.items():
             log(f"[{rank}]{mode} average {k}: {v}")
         return metrics
-    out = {"h,r->t": {"t_pred_top10": np.concatenate(all_top10)}}
+    sl = slice(rank, None, slice_ranks) if slice_ranks > 1 else slice(None)
+    out = {"h,r->t": {"t_pred_top10": np.concatenate(all_top10)[sl]}}
     if all_ans:
-        out["h,r->t"]["t_correct_index"] = np.concatenate(all_ans)
+        out["h,r->t"]["t_correct_index"] = np.concatenate(all_ans)[sl]
     if save_path:
         with open(os.path.join(save_path, f"test_{rank}.pkl"), "wb") as f:
             pickle.dump(out, f)
@@ -540,7 +568,7 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
         # metrics from the answer's rank among its candidates
         (sampler,) = samplers
         return evaluate_candidates(model, state, sampler, mode="Valid",
-                                   log=log)
+                                   log=log, plan=plan)
     # Fused dispatch: G batches flattened per device call — per-call
     # dispatch latency dominates eval on high-latency links (see
     # make_eval_superstep).  G bounds the stacked filter arrays' size at
@@ -558,6 +586,14 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
         # (shard_map) so eval collectives stay batch-proportional
         eval_fn = model.make_sharded_eval_superstep(plan)
     else:
+        if jax.process_count() > 1 and plan is None:
+            sh = getattr(state.entity.emb, "sharding", None)
+            if sh is not None and not sh.is_fully_replicated:
+                raise ValueError(
+                    "multi-process eval over a sharded entity table "
+                    "requires plan= (the batches would enter the global "
+                    "mesh inconsistently and silently corrupt metrics); "
+                    "pass the ShardingPlan used for training")
         eval_fn = model.make_eval_superstep()
     sampled_eval_fn = None
     ones_keep: dict = {}  # cached constant all-ones keep masks (unfiltered
@@ -632,10 +668,14 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
     # must still join the collective below with zero partial sums
     ranks = (np.concatenate(all_ranks) if all_ranks
              else np.zeros((0,), np.int64))
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 and not _global_eval(plan):
+        # replicated-table multi-host: each rank evaluated its own stride;
         # combine fixed-size partial sums over all processes (the
         # reference funnels per-proc logs through an mp.Queue,
-        # train.py:357-369; here it is one allgather)
+        # train.py:357-369; here it is one allgather).  Under
+        # _global_eval every rank already holds the full global ranks
+        # (identical batches, table-axis parallelism) — the local path
+        # below IS the global aggregation.
         from jax.experimental import multihost_utils
         r = ranks.astype(np.float64)
         local = np.array([r.size, r.sum(), (1.0 / r).sum(),

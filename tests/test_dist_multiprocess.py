@@ -48,11 +48,20 @@ model, state, _ = train(cfg, ds, model=model, plan=plan,
                         log=lambda *a: None)
 assert int(state.step) == 30
 
-# multi-host eval: each rank ranks its stride of the test edges; metrics
-# are combined across processes (allgathered partial sums) so every rank
-# logs the same global numbers
+# multi-host eval over the vocab-sharded table: batches are host-identical
+# (unstrided — _global_eval), parallelism comes from the table axis inside
+# make_sharded_eval_superstep, and every rank computes the same global
+# metrics locally.  evaluate() without plan= must refuse (the strided
+# batches would enter the global mesh inconsistently).
 from dglke_tpu.trainer import evaluate
-metrics = evaluate(cfg, ds, model, state, "test", log=lambda *a: None)
+try:
+    evaluate(cfg, ds, model, state, "test", log=lambda *a: None)
+    raise AssertionError("evaluate without plan= should refuse on a "
+                         "sharded table")
+except ValueError as e:
+    assert "requires plan=" in str(e), e
+metrics = evaluate(cfg, ds, model, state, "test", log=lambda *a: None,
+                   plan=plan)
 assert 0.0 < metrics["MRR"] <= 1.0, metrics
 print(f"rank {rank} MRR {metrics['MRR']:.6f}")
 
