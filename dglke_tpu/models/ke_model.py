@@ -746,17 +746,75 @@ class KEModel:
         """
 
         def step(state, h, r, t, filter_ids, filter_mask, neg_head):
-            g, b = h.shape
-            f = filter_ids.shape[-1]
-            ranks = self.eval_ranks(
-                state, h.reshape(g * b), r.reshape(g * b), t.reshape(g * b),
-                filter_ids.reshape(g * b, f), filter_mask.reshape(g * b, f),
-                neg_head=neg_head)
-            return ranks.reshape(g, b)
+            return self._eval_group_ranks(state, h, r, t, filter_ids,
+                                          filter_mask, neg_head=neg_head)
 
         return self._memo(
             "eval_superstep",
             lambda: jax.jit(step, static_argnames=("neg_head",)))
+
+    def _eval_group_ranks(self, state, h, r, t, filter_ids, filter_mask,
+                          *, neg_head):
+        """Rank one [G, B] group by flattening it into a [G*B] mega-batch
+        (see make_eval_superstep for why flatten beats scan here)."""
+        g, b = h.shape
+        f = filter_ids.shape[-1]
+        ranks = self.eval_ranks(
+            state, h.reshape(g * b), r.reshape(g * b), t.reshape(g * b),
+            filter_ids.reshape(g * b, f), filter_mask.reshape(g * b, f),
+            neg_head=neg_head)
+        return ranks.reshape(g, b)
+
+    def make_eval_megastep(self):
+        """Whole-split eval in ONE device call: lax.map over [M, G, B]
+        stacked groups, returning ranks [M, G, B].
+
+        Motivation: over high-latency / low-bandwidth device links (the
+        tunneled test TPU; multi-host dispatch generally) the per-call
+        h2d transfer of the [G, B(, F)] id + filter arrays dominates eval
+        wall time — the device work is ~1 ms/group while the upload costs
+        hundreds of ms (tools/tpu_session.log: edges/s identical at
+        batch_size_eval 64 and 512, i.e. time scales with bytes, not
+        calls).  The trainer packs ALL groups of an eval split into a few
+        byte-budgeted chunks (trainer._mega_eval), uploads each chunk in
+        one jax.device_put, and runs this megastep once per chunk: the
+        transfer rides the bulk DMA path once instead of per-group, and
+        dispatch overhead amortizes over the whole split.  The lax.map
+        body is the same flattened group eval, so HBM-resident
+        intermediates stay group-sized and rank semantics are identical.
+        """
+
+        def step(state, h, r, t, filter_ids, filter_mask, neg_head):
+            def body(xs):
+                hh, rr, tt, fid, fm = xs
+                return self._eval_group_ranks(state, hh, rr, tt, fid, fm,
+                                              neg_head=neg_head)
+
+            return jax.lax.map(body, (h, r, t, filter_ids, filter_mask))
+
+        return self._memo(
+            "eval_megastep",
+            lambda: jax.jit(step, static_argnames=("neg_head",)))
+
+    def make_sharded_eval_megastep(self, plan):
+        """Megastep variant of make_sharded_eval_superstep: lax.map over
+        [M, G, B] stacked groups with the vocab-sharded (shard_map) group
+        body — same transfer/dispatch amortization as make_eval_megastep,
+        same batch-proportional collective contract as the sharded
+        superstep (one [G*B] psum per group)."""
+        group_fn = self._sharded_eval_group_fn(plan)
+
+        def step(state, h, r, t, filter_ids, filter_mask, neg_head):
+            def body(xs):
+                hh, rr, tt, fid, fm = xs
+                return group_fn(state, hh, rr, tt, fid, fm, neg_head)
+
+            return jax.lax.map(body, (h, r, t, filter_ids, filter_mask))
+
+        key = ("sharded_eval_megastep", plan.axis,
+               tuple(d.id for d in plan.mesh.devices.flat))
+        return self._memo(
+            key, lambda: jax.jit(step, static_argnames=("neg_head",)))
 
     def make_sharded_eval_superstep(self, plan):
         """Vocab-sharded full-entity eval: score candidates WHERE THEIR ROWS
@@ -778,6 +836,15 @@ class KEModel:
         bit for bit; mesh-padded rows and the tail block's clamped rows
         are masked out of both counts.
         """
+        step = self._sharded_eval_group_fn(plan)
+        key = ("sharded_eval_superstep", plan.axis,
+               tuple(d.id for d in plan.mesh.devices.flat))
+        return self._memo(
+            key, lambda: jax.jit(step, static_argnames=("neg_head",)))
+
+    def _sharded_eval_group_fn(self, plan):
+        """Un-jitted [G, B] group body of the vocab-sharded eval (see
+        make_sharded_eval_superstep); shared with the megastep wrapper."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -834,10 +901,7 @@ class KEModel:
                     else jnp.zeros((), jnp.float32), fid, fm)
             return (jnp.maximum(counts, 0) + 1).reshape(g, bb)
 
-        key = ("sharded_eval_superstep", axis,
-               tuple(d.id for d in plan.mesh.devices.flat))
-        return self._memo(
-            key, lambda: jax.jit(step, static_argnames=("neg_head",)))
+        return step
 
 
 def metrics_from_ranks(ranks: np.ndarray) -> Dict[str, float]:

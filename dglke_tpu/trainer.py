@@ -560,6 +560,56 @@ def evaluate_candidates(model: KEModel, state: TrainState,
     return None
 
 
+_MEGA_BUDGET = 512 << 20  # packed filter-array bytes per eval device call
+
+
+def _mega_eval(mega_fn, state, batches, G):
+    """Rank all full-entity eval `batches` in a few packed device calls.
+
+    Batches (dicts from EvalSampler) are bucketed by their pow2-padded
+    filter width F, each bucket is chunked to ~_MEGA_BUDGET packed bytes,
+    and each chunk runs as ONE [M, G, B(, F)] megastep call — so h2d
+    transfers and dispatches are per-chunk instead of per-G-group.  The
+    jit specializes on (M, F): both are fixed for a given split + batch
+    size, so a training run's periodic evals compile once.  Unfiltered
+    eval builds its empty filter arrays on device (jnp.zeros — no
+    upload).  Returns per-batch rank arrays trimmed to n_valid, in the
+    original batch order (ranking is per-row, so regrouping is exact).
+    """
+    B = len(batches[0]["h"])
+    neg_head = batches[0]["neg_head"]
+    filtered = "filter_ids" in batches[0]
+    widths = np.array([b["filter_ids"].shape[1] if filtered else 8
+                       for b in batches])
+    out = [None] * len(batches)
+    for f in np.unique(widths):
+        idxs = np.nonzero(widths == f)[0]
+        per_batch = int(B) * int(f) * 5  # int32 ids + uint8 mask
+        cap = max(G, _MEGA_BUDGET // per_batch // G * G)
+        for c0 in range(0, len(idxs), cap):
+            chunk = idxs[c0:c0 + cap]
+            m = -(-len(chunk) // G)
+            sel = np.concatenate(
+                [chunk, np.repeat(chunk[:1], m * G - len(chunk))])
+            hs = np.stack([batches[i]["h"] for i in sel]).reshape(m, G, B)
+            rs = np.stack([batches[i]["r"] for i in sel]).reshape(m, G, B)
+            ts = np.stack([batches[i]["t"] for i in sel]).reshape(m, G, B)
+            if filtered:
+                fid = np.stack([batches[i]["filter_ids"] for i in sel]
+                               ).reshape(m, G, B, f)
+                fm = np.stack([batches[i]["filter_mask"] for i in sel]
+                              ).reshape(m, G, B, f)
+            else:
+                fid = jnp.zeros((m, G, B, 8), jnp.int32)
+                fm = jnp.zeros((m, G, B, 8), jnp.uint8)
+            ranks = np.asarray(
+                mega_fn(state, hs, rs, ts, fid, fm, neg_head)
+            ).reshape(m * G, B)
+            for j, i in enumerate(chunk):
+                out[i] = ranks[j][: batches[i]["n_valid"]]
+    return out
+
+
 def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
                            phase: str = "Test", log=print,
                            plan=None) -> Dict[str, float]:
@@ -569,22 +619,20 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
         (sampler,) = samplers
         return evaluate_candidates(model, state, sampler, mode="Valid",
                                    log=log, plan=plan)
-    # Fused dispatch: G batches flattened per device call — per-call
-    # dispatch latency dominates eval on high-latency links (see
-    # make_eval_superstep).  G bounds the stacked filter arrays' size at
-    # Freebase scale; filter widths are re-padded to the group max.
-    # Dispatch is ASYNC with a bounded window: calls are issued
-    # back-to-back and fetched WINDOW calls behind, so the link round-trip
-    # amortizes over the window (a synchronous per-call fetch measured
-    # 2.5x run-to-run swings over the tunneled test TPU) while the
-    # in-flight [G, B, F] filter uploads stay bounded (~8 x 0.5 GB worst
-    # case at Freebase scale).
+    # Full-entity eval: ALL of a split's batches are packed into a few
+    # byte-budgeted mega-calls (_mega_eval + make_eval_megastep): each
+    # call uploads its whole chunk once and lax.maps over the G-batch
+    # groups on device, so h2d transfer count and dispatch count are
+    # per-CHUNK, not per-group (per-group uploads measured ~0.75 ms/edge
+    # over the tunneled test TPU — time scaled with bytes uploaded, not
+    # with device work).  Sampled-negative eval keeps the bounded async
+    # window below.
     G = 32
     WINDOW = 8
     if plan is not None and plan.table_sharding == "vocab":
         # vocab-sharded tables: score candidates where their rows live
         # (shard_map) so eval collectives stay batch-proportional
-        eval_fn = model.make_sharded_eval_superstep(plan)
+        mega_fn = model.make_sharded_eval_megastep(plan)
     else:
         if jax.process_count() > 1 and plan is None:
             sh = getattr(state.entity.emb, "sharding", None)
@@ -594,7 +642,7 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
                     "requires plan= (the batches would enter the global "
                     "mesh inconsistently and silently corrupt metrics); "
                     "pass the ShardingPlan used for training")
-        eval_fn = model.make_eval_superstep()
+        mega_fn = model.make_eval_megastep()
     sampled_eval_fn = None
     ones_keep: dict = {}  # cached constant all-ones keep masks (unfiltered
     # sampled eval would otherwise allocate + upload ~33 MB per call)
@@ -609,7 +657,9 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
             for i, g in enumerate(group):
                 all_ranks.append(ranks[i][: g["n_valid"]])
 
-    def flush(group):
+    def flush_sampled(group):
+        # sampled-negative protocol (--neg_sample_size_eval): rank
+        # against the batch's K shared candidates only
         nonlocal sampled_eval_fn
         nb = len(group)
         if nb == 0:
@@ -619,50 +669,34 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
         hs = np.stack([g["h"] for g in pad])
         rs = np.stack([g["r"] for g in pad])
         ts = np.stack([g["t"] for g in pad])
-        if "neg" in pad[0]:
-            # sampled-negative protocol (--neg_sample_size_eval): rank
-            # against the batch's K shared candidates only
-            k = pad[0]["neg"].shape[0]
-            ns = np.stack([g["neg"] for g in pad])
-            if "neg_keep" in pad[0]:
-                keep = np.stack([g["neg_keep"] for g in pad])
-            else:
-                keep = ones_keep.get((G, b, k))
-                if keep is None:
-                    # device-resident constant: uploaded once, reused by
-                    # every unfiltered call
-                    keep = ones_keep[(G, b, k)] = jnp.ones((G, b, k),
-                                                           jnp.uint8)
-            nv = np.asarray([g["n_valid"] for g in pad], np.int32)
-            if sampled_eval_fn is None:
-                sampled_eval_fn = model.make_sampled_eval_superstep()
-            pending.append((sampled_eval_fn(
-                state, hs, rs, ts, ns, keep, nv, pad[0]["neg_head"],
-                pad[0].get("neg_deg_sample", False)), group))
-            return
-        if "filter_ids" in pad[0]:
-            f = max(g["filter_ids"].shape[1] for g in pad)
-            fid = np.zeros((G, b, f), np.int32)
-            fm = np.zeros((G, b, f), np.uint8)
-            for i, g in enumerate(pad):
-                w = g["filter_ids"].shape[1]
-                fid[i, :, :w] = g["filter_ids"]
-                fm[i, :, :w] = g["filter_mask"]
-        else:  # unfiltered: empty filter list (mask 0 everywhere)
-            fid = np.zeros((G, b, 8), np.int32)
-            fm = np.zeros((G, b, 8), np.uint8)
-        pending.append((eval_fn(state, hs, rs, ts, fid, fm,
-                                pad[0]["neg_head"]), group))
+        k = pad[0]["neg"].shape[0]
+        ns = np.stack([g["neg"] for g in pad])
+        if "neg_keep" in pad[0]:
+            keep = np.stack([g["neg_keep"] for g in pad])
+        else:
+            keep = ones_keep.get((G, b, k))
+            if keep is None:
+                # device-resident constant: uploaded once, reused by
+                # every unfiltered call
+                keep = ones_keep[(G, b, k)] = jnp.ones((G, b, k), jnp.uint8)
+        nv = np.asarray([g["n_valid"] for g in pad], np.int32)
+        if sampled_eval_fn is None:
+            sampled_eval_fn = model.make_sampled_eval_superstep()
+        pending.append((sampled_eval_fn(
+            state, hs, rs, ts, ns, keep, nv, pad[0]["neg_head"],
+            pad[0].get("neg_deg_sample", False)), group))
 
     for sampler in samplers:
-        group: list = []
-        for batch in sampler:
-            group.append(batch)
-            if len(group) == G:
-                flush(group)
+        batches = list(sampler)  # host dicts; the sampler is vectorized
+        if not batches:
+            continue
+        if "neg" in batches[0]:
+            for i in range(0, len(batches), G):
+                flush_sampled(batches[i:i + G])
                 drain(WINDOW)
-                group = []
-        flush(group)
+        else:
+            for r_ in _mega_eval(mega_fn, state, batches, G):
+                all_ranks.append(r_)
     drain(0)
     # a rank's stride can be empty (tiny eval split / eval_percent); it
     # must still join the collective below with zero partial sums

@@ -281,10 +281,9 @@ def test_structured_graph_solved_exactly():
 
 
 def test_eval_pipeline_window_exact():
-    """The async-window eval dispatch (evaluate_with_samplers WINDOW=8)
-    must neither drop nor duplicate groups: with enough batches to force
-    mid-loop drains (> 8 groups of G=32 per mode), metrics must equal a
-    brute-force per-edge ranking."""
+    """The packed mega-eval dispatch (_mega_eval) must neither drop nor
+    duplicate batches: with enough batches for several G=32 groups per
+    mode, metrics must equal a brute-force per-edge ranking."""
     ds = synthetic_dataset(n_entities=60, n_relations=4, n_train=1200,
                            n_valid=10, n_test=600, seed=11)
     cfg = small_config(batch_size_eval=2)  # 300 batches -> 10 groups/mode
@@ -316,3 +315,37 @@ def test_eval_pipeline_window_exact():
     ranks = np.asarray(ranks, np.float64)
     assert abs(metrics["MR"] - ranks.mean()) < 1e-6, (metrics, ranks.mean())
     assert abs(metrics["MRR"] - (1.0 / ranks).mean()) < 1e-9
+
+
+def test_mega_eval_bucketing_exact(monkeypatch):
+    """_mega_eval buckets batches by filter width and splits buckets into
+    byte-budgeted chunks; regrouped per-batch ranks must land back in the
+    original batch order.  A hub entity skews filter widths so batches
+    fall in DIFFERENT pow2 buckets, and a tiny _MEGA_BUDGET forces
+    multi-chunk splits; the result must equal the same eval computed with
+    an effectively unlimited budget (one chunk per bucket)."""
+    import dglke_tpu.trainer as tr
+
+    rng = np.random.RandomState(5)
+    n_ent, n_rel = 80, 3
+    # hub: entity 0 as (h, r) source of MANY tails -> wide filter rows
+    hub_n = 400
+    h = np.concatenate([np.zeros(hub_n, np.int64),
+                        rng.randint(0, n_ent, 800)])
+    r = np.concatenate([np.zeros(hub_n, np.int64),
+                        rng.randint(0, n_rel, 800)])
+    t = np.concatenate([rng.randint(0, n_ent, hub_n),
+                        rng.randint(0, n_ent, 800)])
+    from dglke_tpu.data.dataset import KGDataset
+    test = (h[::4][:200], r[::4][:200], t[::4][:200])
+    ds = KGDataset(name="synthetic", n_entities=n_ent, n_relations=n_rel,
+                   train=(h, r, t), test=test)
+    cfg = small_config(batch_size_eval=4, max_step=1)
+    model = KEModel(cfg, n_ent, n_rel)
+    state = model.init_state(jax.random.PRNGKey(2))
+
+    want = evaluate(cfg, ds, model, state, "test", log=lambda *a: None)
+    monkeypatch.setattr(tr, "_MEGA_BUDGET", 4 * 64 * 5 * 2)  # ~2 batches
+    got = evaluate(cfg, ds, model, state, "test", log=lambda *a: None)
+    for k in want:
+        assert abs(want[k] - got[k]) < 1e-12, (k, want[k], got[k])

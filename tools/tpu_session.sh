@@ -14,6 +14,9 @@ import jax, jax.numpy as jnp, time
 t0=time.time(); x = jnp.ones((512,512)) @ jnp.ones((512,512))
 print('health ok', float(x[0,0]), round(time.time()-t0,1))" >> $LOG 2>&1 || { stamp "health FAILED"; exit 1; }
 
+stamp "diag_transfer (h2d paths: bulk vs jit-arg vs dispatch)"
+timeout 400 python tools/diag_transfer.py >> $LOG 2>&1 || stamp "diag_transfer FAILED/HUNG"
+
 stamp "bench.py (headline, XLA rows)"
 timeout 500 python bench.py >> $LOG 2>&1 || stamp "bench FAILED/HUNG"
 
