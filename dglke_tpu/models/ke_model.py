@@ -695,28 +695,43 @@ class KEModel:
                          num_chunks=b, chunk_size=1, neg_sample_size=k)
         return s.reshape(b, k)
 
-    def make_candidate_eval_step(self, top: int = 10,
-                                 with_scores: bool = True,
-                                 with_top: bool = True):
-        """Returns jitted fn(state, query [B,2], cand [B,K]) ->
-        (scores [B,K] or None, top-`top` candidate positions or None).
+    def make_candidate_megastep(self, top: int = 10,
+                                with_ranks: bool = True,
+                                with_top: bool = True):
+        """Returns jitted fn(state, query [M,B,2], cand [M,B,K],
+        ans [M,B]) -> (ranks [M,B] if with_ranks, top-`top` candidate
+        positions [M,B,top] if with_top) — a whole chunk of candidate-eval
+        batches in ONE device call (lax.map over the M axis; same
+        transfer/dispatch amortization as make_eval_megastep).
 
-        Valid mode only needs the scores (rank of the answer); Test mode
-        only needs the top-k argsort — gating both avoids a [B,K] fp32
-        fetch per batch in Test mode and a device argsort in Valid mode.
+        Valid mode computes the rank ON DEVICE — the reference counts the
+        answer itself among the ties (sum(neg >= neg[ans]) + 1, min rank
+        2, general_models.py:504) — so only [M,B] ints come back instead
+        of a [B,K] fp32 score matrix per batch.  Test mode returns top_k
+        positions (its lowest-index-first tie order matches stable
+        argsort(-scores), train_pytorch.py:217); `ans` is ignored there.
         """
 
-        def step(state, query, cand):
-            scores = self.candidate_scores(state, query[:, 0], query[:, 1],
-                                           cand, neg_head=False)
-            # top_k, not a full argsort: K-proportional work, and its
-            # lowest-index-first tie order matches stable argsort(-scores);
-            # candidate lists narrower than `top` degrade to K columns
-            top_idx = (jax.lax.top_k(scores, min(top, scores.shape[1]))[1]
-                       if with_top else None)
-            return (scores if with_scores else None), top_idx
+        def step(state, query, cand, ans):
+            def body(xs):
+                q, c, a = xs
+                scores = self.candidate_scores(state, q[:, 0], q[:, 1],
+                                               c, neg_head=False)
+                outs = []
+                if with_ranks:
+                    pos = jnp.take_along_axis(scores, a[:, None], axis=1)
+                    outs.append((jnp.sum(scores >= pos, axis=1)
+                                 + 1).astype(jnp.int32))
+                if with_top:
+                    # top_k, not a full argsort: K-proportional work;
+                    # candidate lists narrower than `top` degrade to K
+                    outs.append(jax.lax.top_k(
+                        scores, min(top, c.shape[1]))[1])
+                return tuple(outs)
 
-        return self._memo(("candidate_eval_step", top, with_scores, with_top),
+            return jax.lax.map(body, (query, cand, ans))
+
+        return self._memo(("candidate_megastep", top, with_ranks, with_top),
                           lambda: jax.jit(step))
 
     def make_eval_step(self):

@@ -492,38 +492,40 @@ def evaluate_candidates(model: KEModel, state: TrainState,
     layout matches the reference's strided protocol."""
     import pickle
 
-    eval_fn = model.make_candidate_eval_step(
-        with_scores=(mode == "Valid"), with_top=(mode != "Valid"))
-    # async dispatch with a bounded window: issue batches back-to-back,
-    # fetch WINDOW behind, so the link round-trip amortizes over the
-    # window while in-flight [B, K] score buffers stay bounded (see
-    # evaluate_with_samplers)
-    WINDOW = 8
-    pending = []
+    # Whole-chunk dispatch: the sampler's (hr, ans, cand) arrays are
+    # chunked by candidate-payload byte budget and each chunk runs as ONE
+    # [M, B, ...] megastep call; Valid-mode ranks are computed on device
+    # (the reference's self-counting tie rank, general_models.py:504), so
+    # no [B, K] fp32 score matrix ever crosses the link.
+    eval_fn = model.make_candidate_megastep(
+        with_ranks=(mode == "Valid"), with_top=(mode != "Valid"))
+    b = sampler.batch_size
+    n = len(sampler.hr)
+    k = sampler.cand.shape[1]
+    rows_cap = max(b, _MEGA_BUDGET // (int(k) * 4) // b * b)
     all_ranks, all_top10, all_ans = [], [], []
-
-    def consume(item):
-        (scores, top10), query, ans = item
-        if mode == "Valid":
-            scores = np.asarray(scores)
-            pos = scores[np.arange(len(query)), ans]
-            # The reference's ranking counts the answer itself among the
-            # ties (sum(neg >= neg[ans]) + 1, min rank 2 —
-            # general_models.py:504); reproduced exactly so wikikg90M
-            # metrics are comparable with its published numbers.
-            ranks = (scores >= pos[:, None]).sum(axis=1) + 1
-            all_ranks.append(ranks)
-        else:
-            all_top10.append(np.asarray(top10))
+    for beg in range(0, n, rows_cap):
+        hr = sampler.hr[beg:beg + rows_cap]
+        cand = sampler.cand[beg:beg + rows_cap]
+        ans = (sampler.ans[beg:beg + rows_cap]
+               if sampler.ans is not None else None)
+        nn = len(hr)
+        pad = -nn % b
+        if pad:  # pad the tail to a whole batch; trimmed after the fetch
+            hr = np.concatenate([hr, np.repeat(hr[:1], pad, axis=0)])
+            cand = np.concatenate([cand, np.repeat(cand[:1], pad, axis=0)])
             if ans is not None:
-                all_ans.append(ans)
-
-    for query, ans, cand in sampler:
-        pending.append((eval_fn(state, query, cand), query, ans))
-        if len(pending) > WINDOW:
-            consume(pending.pop(0))
-    for item in pending:
-        consume(item)
+                ans = np.concatenate([ans, np.repeat(ans[:1], pad)])
+        m = len(hr) // b
+        a = (ans if ans is not None
+             else np.zeros(m * b, np.int32)).reshape(m, b)
+        out = eval_fn(state, hr.reshape(m, b, 2), cand.reshape(m, b, k), a)
+        if mode == "Valid":
+            all_ranks.append(np.asarray(out[0]).reshape(-1)[:nn])
+        else:
+            all_top10.append(np.asarray(out[-1]).reshape(m * b, -1)[:nn])
+            if sampler.ans is not None:
+                all_ans.append(sampler.ans[beg:beg + rows_cap])
     if mode == "Valid":
         r = (np.concatenate(all_ranks).astype(np.float64) if all_ranks
              else np.zeros((0,), np.float64))
