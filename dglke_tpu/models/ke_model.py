@@ -791,9 +791,11 @@ class KEModel:
         hundreds of ms (tools/tpu_session.log: edges/s identical at
         batch_size_eval 64 and 512, i.e. time scales with bytes, not
         calls).  The trainer packs ALL groups of an eval split into a few
-        byte-budgeted chunks (trainer._mega_eval), uploads each chunk in
-        one jax.device_put, and runs this megastep once per chunk: the
-        transfer rides the bulk DMA path once instead of per-group, and
+        byte-budgeted chunks (trainer._mega_eval) and runs this megastep
+        once per chunk with the packed numpy arrays as jit args (NOT an
+        explicit device_put: tools/diag_transfer.py measured 0.4-1.1 s
+        fixed latency per device_put over the tunneled link vs 6-13 ms
+        for jit-arg upload), so transfer round trips are per-chunk and
         dispatch overhead amortizes over the whole split.  The lax.map
         body is the same flattened group eval, so HBM-resident
         intermediates stay group-sized and rank semantics are identical.

@@ -85,6 +85,12 @@ _LANE = 128
 # batch (see sparse_adagrad_update).
 _DENSE_WIDE_DIM = 4096
 
+# Tables with at most this many rows always take the dense one-hot
+# write-back: the [E, N] matmul beats the scatter's random row writes up
+# to E ~ 2k and loses by E ~ 15k (v5e, tools/diag_relupdate.py), and both
+# scale ~linearly in N so the crossover is a fixed row count.
+_DENSE_SMALL_ROWS = 2048
+
 
 def padded_dim(dim: int) -> int:
     return -(-dim // _LANE) * _LANE
@@ -219,18 +225,19 @@ def sparse_adagrad_update(table: EmbeddingState, ids: jnp.ndarray,
         delta = jnp.pad(delta,
                         ((0, 0), (0, table.emb.shape[1] - delta.shape[1])))
     e, d = table.emb.shape
-    n = ids.shape[0]
-    if (d >= _DENSE_WIDE_DIM and e * d <= 4 * delta.size) or e <= 2 * n:
+    if (d >= _DENSE_WIDE_DIM and e * d <= 4 * delta.size) \
+            or e <= _DENSE_SMALL_ROWS:
         # WIDE rows over a SMALL table (RESCAL relation matrices, TransR
         # projections): XLA's scatter-add collapses on wide rows (measured
         # 11.5 ms for 1000x40000 rows on a v5e vs 0.3 ms for the gather).
-        # Also any table no bigger than ~2x the batch (relation tables at
-        # typical batch sizes): the [E, N] one-hot matmul is then cheaper
-        # than the scatter's random row writes (tools/diag_relupdate.py on
-        # a v5e: dense 51 vs scatter 72 us at E=1345 D=400 N=1000; scatter
-        # wins again by E ~ 7N, so 2N stays inside the measured win
-        # region).  Only replicated tables can hit the e <= 2n arm —
-        # vocab-sharded entity tables are always >> 2N rows.
+        # Also any SMALL table (relation tables): the [E, N] one-hot
+        # matmul is then cheaper than the scatter's random row writes
+        # (tools/diag_relupdate.py on a v5e: dense 51 vs scatter 72 us at
+        # E=1345 D=400 N=1000, dense 294 vs scatter 211 us at E=14951).
+        # Both paths scale ~linearly in N, so the crossover is a fixed E
+        # (~2k by linear interpolation of the dense cost), NOT a function
+        # of the batch.  Only replicated tables can hit this arm —
+        # vocab-sharded entity tables are far larger.
         # Accumulate per-occurrence deltas densely on the MXU instead:
         # onehot [E, N] @ delta [N, D] sums duplicates exactly like the
         # scatter (std is per-id so summing deltas == summing grads), then

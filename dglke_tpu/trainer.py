@@ -468,12 +468,6 @@ class CandidateEvalSampler:
         self.cand = np.asarray(d["t_candidate"], np.int32)[sl]
         self.batch_size = batch_size
 
-    def __iter__(self):
-        b = self.batch_size
-        for beg in range(0, len(self.hr), b):
-            yield (self.hr[beg:beg + b],
-                   self.ans[beg:beg + b] if self.ans is not None else None,
-                   self.cand[beg:beg + b])
 
 
 def evaluate_candidates(model: KEModel, state: TrainState,
@@ -497,6 +491,10 @@ def evaluate_candidates(model: KEModel, state: TrainState,
     # [M, B, ...] megastep call; Valid-mode ranks are computed on device
     # (the reference's self-counting tie rank, general_models.py:504), so
     # no [B, K] fp32 score matrix ever crosses the link.
+    if mode == "Valid" and sampler.ans is None:
+        raise ValueError(
+            "Valid-mode candidate eval needs answer indices "
+            "(t_correct_index missing from the candidate split)")
     eval_fn = model.make_candidate_megastep(
         with_ranks=(mode == "Valid"), with_top=(mode != "Valid"))
     b = sampler.batch_size
@@ -688,17 +686,37 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
             state, hs, rs, ts, ns, keep, nv, pad[0]["neg_head"],
             pad[0].get("neg_deg_sample", False)), group))
 
+    def _batch_bytes(b):
+        if "filter_ids" in b:
+            return b["filter_ids"].nbytes + b["filter_mask"].nbytes
+        return 3 * b["h"].nbytes
+
     for sampler in samplers:
-        batches = list(sampler)  # host dicts; the sampler is vectorized
-        if not batches:
+        it = iter(sampler)
+        first = next(it, None)
+        if first is None:
             continue
-        if "neg" in batches[0]:
-            for i in range(0, len(batches), G):
-                flush_sampled(batches[i:i + G])
-                drain(WINDOW)
+        if "neg" in first:
+            group = [first]
+            for batch in it:
+                if len(group) == G:
+                    flush_sampled(group)
+                    drain(WINDOW)
+                    group = []
+                group.append(batch)
+            flush_sampled(group)
         else:
-            for r_ in _mega_eval(mega_fn, state, batches, G):
-                all_ranks.append(r_)
+            # stream in bounded slabs (~2x _MEGA_BUDGET of host-resident
+            # filter bytes): _mega_eval packs within each slab, so a
+            # Freebase-scale split never holds all its batch dicts at once
+            slab, slab_bytes = [first], _batch_bytes(first)
+            for batch in it:
+                if slab_bytes >= 2 * _MEGA_BUDGET:
+                    all_ranks.extend(_mega_eval(mega_fn, state, slab, G))
+                    slab, slab_bytes = [], 0
+                slab.append(batch)
+                slab_bytes += _batch_bytes(batch)
+            all_ranks.extend(_mega_eval(mega_fn, state, slab, G))
     drain(0)
     # a rank's stride can be empty (tiny eval split / eval_percent); it
     # must still join the collective below with zero partial sums

@@ -163,6 +163,40 @@ def test_sharded_eval_collectives_are_batch_proportional(sharded_eval_setup):
             "batch-proportional data in the sharded eval")
 
 
+def test_sharded_eval_megastep_matches_and_stays_batch_proportional(
+        sharded_eval_setup):
+    """The SHIPPED vocab-sharded eval path is the megastep (lax.map over
+    groups, trainer.evaluate_with_samplers): its ranks must match the
+    superstep exactly, and wrapping the shard_map body in lax.map must not
+    reintroduce table-scale collectives into the compiled HLO."""
+    model, plan, state_rep, state_sh, batch = sharded_eval_setup
+    h, r, t, fid, fm = batch
+    m = 2  # two stacked chunks of the same [2, 16] group
+    hs, rs, ts = (np.stack([x] * m) for x in (h, r, t))
+    fids, fms = np.stack([fid] * m), np.stack([fm] * m)
+    mega_fn = model.make_sharded_eval_megastep(plan)
+    ref_fn = model.make_eval_superstep()
+    for neg_head in (False, True):
+        want = np.asarray(ref_fn(state_rep, h, r, t, fid, fm, neg_head))
+        got = np.asarray(mega_fn(state_sh, hs, rs, ts, fids, fms, neg_head))
+        assert np.array_equal(got[0], want) and np.array_equal(got[1], want)
+    lowered = mega_fn.lower(
+        state_sh,
+        jax.ShapeDtypeStruct(hs.shape, np.int32),
+        jax.ShapeDtypeStruct(rs.shape, np.int32),
+        jax.ShapeDtypeStruct(ts.shape, np.int32),
+        jax.ShapeDtypeStruct(fids.shape, np.int32),
+        jax.ShapeDtypeStruct(fms.shape, np.uint8), True)
+    shapes = _collective_shapes(lowered.compile().as_text())
+    assert shapes, "no collectives at all — sharding silently dropped?"
+    n = h.size
+    for kind, dtype, dims in shapes:
+        rows = dims[0] if dims else 1
+        assert rows <= 4 * n, (
+            f"{kind} of shape {dtype}{dims} moves more than "
+            "batch-proportional data in the sharded eval megastep")
+
+
 def test_sampled_eval_collectives_are_candidate_proportional():
     """--neg_sample_size_eval over a vocab-sharded table: the K candidate
     rows (not the table) cross the mesh."""
