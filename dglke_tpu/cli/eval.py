@@ -59,41 +59,55 @@ def main(argv=None):
                           cfg.delimiter, cfg.data_files,
                           cfg.has_edge_importance)
     model = KEModel(cfg, dataset.n_entities, dataset.n_relations)
+    import jax
+    n_dev = len(jax.devices())
     plan = None
+
+    def vocab_plan():
+        nonlocal plan
+        from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
+        plan = ShardingPlan(make_mesh(n_dev), table_sharding="vocab")
+        return plan
+
+    want_vocab = args.table_sharding == "vocab" and n_dev > 1
+    if args.table_sharding == "vocab" and n_dev == 1:
+        print("NOTE: --table_sharding vocab has no effect on one device")
     from dglke_tpu.utils.io import has_sharded
     if has_sharded(args.model_path):
         # sharded (orbax) checkpoint from --sharded_ckpt: the saved shapes
         # depend on how training sharded the tables (vocab sharding mesh-
         # pads the entity rows) — try the replicated layout first, then
         # the vocab-sharded one.
-        import jax
         from dglke_tpu.utils.io import load_sharded
-
-        def vocab_plan():
-            nonlocal plan
-            from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
-            plan = ShardingPlan(make_mesh(len(jax.devices())),
-                                table_sharding="vocab")
-            return plan
-
         template = model.init_state(jax.random.PRNGKey(cfg.seed))
-        if args.table_sharding == "vocab":
+        if want_vocab:
             state = load_sharded(vocab_plan().put_state(template),
                                  args.model_path)
         else:
             try:
                 state = load_sharded(template, args.model_path)
-            except ValueError as e:
-                # only the layout mismatch falls through to the vocab-padded
-                # retry; real restore errors (corrupt ckpt, dtype mismatch)
-                # must surface as themselves
-                if ("shape" not in str(e).lower()
-                        or len(jax.devices()) <= 1):
+            except Exception as e:  # noqa: BLE001 — layout probe, see below
+                # A checkpoint written from vocab-sharded training stores
+                # mesh-PADDED entity rows, and orbax's layout-mismatch
+                # error class/wording varies across versions — so retry
+                # the one other layout we could have written rather than
+                # pattern-match the message.  A real restore error
+                # (corrupt ckpt, dtype mismatch) fails BOTH attempts and
+                # the original error surfaces as itself.
+                if n_dev <= 1:
                     raise
-                state = load_sharded(vocab_plan().put_state(template),
-                                     args.model_path)
+                try:
+                    state = load_sharded(vocab_plan().put_state(template),
+                                         args.model_path)
+                except Exception:
+                    plan = None
+                    raise e
     else:
         state = load_model_state(cfg, model, args.model_path)
+        if want_vocab:
+            # mirror cli/train.py: shard the dense artifact over the mesh
+            # so the sharded-eval path actually engages
+            state = vocab_plan().put_state(state)
     evaluate(cfg, dataset, model, state, "test", plan=plan)
     return 0
 

@@ -13,8 +13,9 @@ Covers the reference's dataset surface
   * custom delimiters and an optional 4th edge-importance column;
   * ogb datasets (wikikg2 / biokg) behind a gated import.
 
-Download-on-miss is intentionally not performed automatically (TPU pods run
-without egress); a clear error points at the expected local layout instead.
+Missing built-in datasets are auto-downloaded like the reference
+(KGDataset.py:197-213, stdlib urllib); on egress-less TPU pods the fetch
+fails fast with an error that points at the expected local layout.
 A synthetic generator used by tests and the benchmark lives here too.
 """
 
@@ -57,6 +58,9 @@ class KGDataset:
     # {"h,r->t": {"hr": [N,2], "t_candidate": [N,K], "t_correct_index": [N]}}
     valid_dict: Optional[dict] = None
     test_dict: Optional[dict] = None
+    # True when `train` is one host's partition_for_host slice: a filter
+    # built from it would miss other hosts' edges (wrong filtered ranks)
+    train_partitioned: bool = False
 
     @property
     def has_edge_importance(self) -> bool:

@@ -154,7 +154,7 @@ def partition_for_host(dataset: KGDataset, rank: int, n_parts: int,
             f"({dataset.n_train} train edges)")
     train = tuple(np.asarray(col)[idx] for col in dataset.train)
     import dataclasses as _dc
-    return _dc.replace(dataset, train=train)
+    return _dc.replace(dataset, train=train, train_partitioned=True)
 
 
 # ---------------------------------------------------------------------------

@@ -339,6 +339,12 @@ def evaluate(config: KGEConfig, dataset: KGDataset, model: KEModel,
     (train_pytorch.py:199-253)."""
     cfg = config
     if cfg.eval_filter and filter_index is None:
+        if getattr(dataset, "train_partitioned", False):
+            raise ValueError(
+                "filtered eval on a partition_for_host dataset: the filter "
+                "would cover only this host's train slice (deflated, "
+                "host-divergent ranks) — build FilterIndex from the "
+                "UNPARTITIONED dataset and pass it as filter_index")
         filter_index = FilterIndex(dataset)
     # Multi-host striding: with REPLICATED tables each process ranks its
     # own stride of the eval edges (reference EvalSampler rank striding,
@@ -375,6 +381,34 @@ def _global_eval(plan) -> bool:
     the batch rides the global mesh as a replicated input)."""
     return (plan is not None and plan.table_sharding == "vocab"
             and jax.process_count() > 1)
+
+
+def combine_rank_metrics(ranks: np.ndarray, plan, empty_msg: str
+                         ) -> Dict[str, float]:
+    """MRR/MR/HITS@{1,3,10} from this process's rank array.
+
+    Replicated-table multi-host: each rank evaluated its own stride, so
+    fixed-size partial sums combine over all processes (the reference
+    funnels per-proc logs through an mp.Queue, train.py:357-369; here it
+    is one allgather).  Under _global_eval (or single-process) the local
+    ranks already ARE the global ranks, so the local reduction is the
+    global aggregation.  An empty stride still joins the collective with
+    zero partial sums; all-empty raises `empty_msg`."""
+    r = np.asarray(ranks, np.float64)
+    if jax.process_count() > 1 and not _global_eval(plan):
+        from jax.experimental import multihost_utils
+        local = np.array([r.size, r.sum(), (1.0 / r).sum(),
+                          (r <= 1).sum(), (r <= 3).sum(),
+                          (r <= 10).sum()], np.float64)
+        tot = np.asarray(multihost_utils.process_allgather(local)).sum(0)
+        if tot[0] == 0:
+            raise ValueError(empty_msg)
+        return {"MRR": tot[2] / tot[0], "MR": tot[1] / tot[0],
+                "HITS@1": tot[3] / tot[0], "HITS@3": tot[4] / tot[0],
+                "HITS@10": tot[5] / tot[0]}
+    if r.size == 0:
+        raise ValueError(empty_msg)
+    return metrics_from_ranks(r)
 
 
 class DevicePipeline:
@@ -525,28 +559,10 @@ def evaluate_candidates(model: KEModel, state: TrainState,
             if sampler.ans is not None:
                 all_ans.append(sampler.ans[beg:beg + rows_cap])
     if mode == "Valid":
-        r = (np.concatenate(all_ranks).astype(np.float64) if all_ranks
+        r = (np.concatenate(all_ranks) if all_ranks
              else np.zeros((0,), np.float64))
-        if jax.process_count() > 1 and not _global_eval(plan):
-            # combine partial sums across ranks (strided sampler), same
-            # as evaluate_with_samplers
-            from jax.experimental import multihost_utils
-            local = np.array([r.size, r.sum(), (1.0 / r).sum(),
-                              (r <= 1).sum(), (r <= 3).sum(),
-                              (r <= 10).sum()], np.float64)
-            tot = np.asarray(
-                multihost_utils.process_allgather(local)).sum(0)
-            if tot[0] == 0:
-                raise ValueError(
-                    "candidate evaluation saw zero queries on every rank")
-            metrics = {"MRR": tot[2] / tot[0], "MR": tot[1] / tot[0],
-                       "HITS@1": tot[3] / tot[0],
-                       "HITS@3": tot[4] / tot[0],
-                       "HITS@10": tot[5] / tot[0]}
-        else:
-            if r.size == 0:
-                raise ValueError("candidate evaluation saw zero queries")
-            metrics = metrics_from_ranks(r)
+        metrics = combine_rank_metrics(
+            r, plan, "candidate evaluation saw zero queries on every rank")
         for k, v in metrics.items():
             log(f"[{rank}]{mode} average {k}: {v}")
         return metrics
@@ -718,36 +734,11 @@ def evaluate_with_samplers(model: KEModel, state: TrainState, samplers,
                 slab_bytes += _batch_bytes(batch)
             all_ranks.extend(_mega_eval(mega_fn, state, slab, G))
     drain(0)
-    # a rank's stride can be empty (tiny eval split / eval_percent); it
-    # must still join the collective below with zero partial sums
     ranks = (np.concatenate(all_ranks) if all_ranks
              else np.zeros((0,), np.int64))
-    if jax.process_count() > 1 and not _global_eval(plan):
-        # replicated-table multi-host: each rank evaluated its own stride;
-        # combine fixed-size partial sums over all processes (the
-        # reference funnels per-proc logs through an mp.Queue,
-        # train.py:357-369; here it is one allgather).  Under
-        # _global_eval every rank already holds the full global ranks
-        # (identical batches, table-axis parallelism) — the local path
-        # below IS the global aggregation.
-        from jax.experimental import multihost_utils
-        r = ranks.astype(np.float64)
-        local = np.array([r.size, r.sum(), (1.0 / r).sum(),
-                          (r <= 1).sum(), (r <= 3).sum(),
-                          (r <= 10).sum()], np.float64)
-        tot = np.asarray(multihost_utils.process_allgather(local)).sum(0)
-        if tot[0] == 0:
-            raise ValueError(
-                "evaluation saw zero edges on every rank (eval split "
-                "smaller than process count, or eval_percent too small)")
-        metrics = {"MRR": tot[2] / tot[0], "MR": tot[1] / tot[0],
-                   "HITS@1": tot[3] / tot[0], "HITS@3": tot[4] / tot[0],
-                   "HITS@10": tot[5] / tot[0]}
-    else:
-        if ranks.size == 0:
-            raise ValueError("evaluation saw zero edges (empty eval split "
-                             "or eval_percent too small)")
-        metrics = metrics_from_ranks(ranks)
+    metrics = combine_rank_metrics(
+        ranks, plan, "evaluation saw zero edges on every rank (eval split "
+        "smaller than process count, or eval_percent too small)")
     for k, v in metrics.items():
         log(f"[0]{phase} average {k}: {v}")
     log(f"[0]{phase} takes {time.time() - start:.3f} seconds")

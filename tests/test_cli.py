@@ -68,6 +68,32 @@ def test_eval_cli(fake_data, trained_ckpt, capsys):
     assert "Test average MRR" in out
 
 
+def test_eval_cli_vocab_sharding_engages_on_dense_ckpt(
+        fake_data, trained_ckpt, capsys):
+    """--table_sharding vocab on a dense .npy checkpoint must shard the
+    restored table over the mesh (previously the flag was silently
+    ignored and eval ran replicated) and reproduce identical metrics."""
+    from dglke_tpu.cli.eval import main as eval_main
+    args = [
+        "--dataset", "fakekg", "--data_path", fake_data,
+        "--format", "raw_udd_hrt",
+        "--data_files", "train.txt", "valid.txt", "test.txt",
+        "--model_path", trained_ckpt,
+    ]
+    assert eval_main(args) == 0
+    rep = capsys.readouterr().out
+    assert eval_main(args + ["--table_sharding", "vocab"]) == 0
+    voc = capsys.readouterr().out
+
+    def metric(out, name):
+        line = [ln for ln in out.splitlines() if f"average {name}" in ln]
+        return float(line[0].split(":")[1])
+
+    for name in ("MRR", "MR", "HITS@10"):
+        assert metric(rep, name) == pytest.approx(metric(voc, name),
+                                                  abs=1e-9)
+
+
 def test_predict_cli(fake_data, trained_ckpt, tmp_path):
     from dglke_tpu.cli.predict import main as predict_main
     head_f = str(tmp_path / "head.list")

@@ -230,6 +230,23 @@ def test_unfiltered_eval_and_eval_percent(tiny_ds):
     assert 0.0 < sub["MRR"] <= 1.0
 
 
+def test_filtered_eval_rejects_partitioned_dataset(tiny_ds):
+    """A partition_for_host dataset holds only this host's train slice: a
+    filter built from it would deflate ranks host-divergently, so
+    evaluate() must refuse to build one and accept an explicitly passed
+    full-dataset FilterIndex instead."""
+    from dglke_tpu.data.sampler import partition_for_host
+    cfg = small_config()
+    model = KEModel(cfg, tiny_ds.n_entities, tiny_ds.n_relations)
+    state = model.init_state(jax.random.PRNGKey(0))
+    part = partition_for_host(tiny_ds, 0, 2)
+    with pytest.raises(ValueError, match="UNPARTITIONED"):
+        evaluate(cfg, part, model, state, "test", log=lambda *a: None)
+    m = evaluate(cfg, part, model, state, "test",
+                 filter_index=FilterIndex(tiny_ds), log=lambda *a: None)
+    assert 0.0 < m["MRR"] <= 1.0
+
+
 def test_transr_neg_deg_sample(tiny_ds):
     """TransR + neg_deg_sample: own-node extras are projected like the
     sampled negatives and the self-match diagonal is masked (previously
