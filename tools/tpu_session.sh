@@ -14,11 +14,12 @@ import jax, jax.numpy as jnp, time
 t0=time.time(); x = jnp.ones((512,512)) @ jnp.ones((512,512))
 print('health ok', float(x[0,0]), round(time.time()-t0,1))" >> $LOG 2>&1 || { stamp "health FAILED"; exit 1; }
 
-stamp "diag_transfer (h2d paths: bulk vs jit-arg vs dispatch)"
-timeout 400 python tools/diag_transfer.py >> $LOG 2>&1 || stamp "diag_transfer FAILED/HUNG"
-
+# bench.py FIRST and with the longest budget: it is the official record
+# path, and a code change that invalidates the compile cache costs
+# minutes of tunnel compile before a single timed group runs (17:53
+# window: killed at exactly the old 500 s timeout, mid-compile).
 stamp "bench.py (headline, XLA rows)"
-timeout 500 python bench.py >> $LOG 2>&1 || stamp "bench FAILED/HUNG"
+timeout 900 python bench.py >> $LOG 2>&1 || stamp "bench FAILED/HUNG"
 
 
 
@@ -52,7 +53,7 @@ dt = time.time() - t0
 print(f'fused eval (B=512): {10000/dt:.0f} edges/s')" >> $LOG 2>&1 || stamp "eval FAILED/HUNG"
 
 stamp "diag_relupdate (scatter vs dense one-hot Adagrad, small tables)"
-timeout 500 python -c "
+timeout 600 python -c "
 import sys; sys.path.insert(0, '.')
 import runpy; runpy.run_path('tools/diag_relupdate.py', run_name='__main__')" >> $LOG 2>&1 || stamp "relupdate FAILED/HUNG"
 
@@ -80,6 +81,9 @@ t0 = time.time()
 for _ in range(12): state, log = pipe.run_call(state)
 float(log['loss']); dt = time.time() - t0
 print(f'wikikg2-scale: {12*512*1000/dt/1e6:.2f}M triples/s')" >> $LOG 2>&1 || stamp "large-vocab FAILED/HUNG"
+
+stamp "diag_transfer (h2d paths: bulk vs jit-arg vs dispatch)"
+timeout 400 python tools/diag_transfer.py >> $LOG 2>&1 || stamp "diag_transfer FAILED/HUNG"
 
 stamp "done"
 tail -30 $LOG
