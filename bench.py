@@ -39,6 +39,18 @@ RETRY_SPREAD = 3.0    # max/min group spread that triggers one retry
 def main():
     import jax
 
+    try:
+        # Persist compiled executables across processes: a cold compile of
+        # the scanned superstep costs minutes over the tunneled link (it
+        # exceeded a 500 s window budget on 2026-08-19), while a cache hit
+        # is seconds.  Any prior run of this script (e.g. a
+        # tools/tpu_session.sh window) pre-warms the official capture.
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; proceed without it
+
     from dglke_tpu.config import KGEConfig
     from dglke_tpu.data.dataset import synthetic_dataset
     from dglke_tpu.models.ke_model import KEModel
