@@ -24,10 +24,41 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...diag}.
 import json
 import math
 import statistics
+import subprocess
 import sys
 import time
 
 V100_TRIPLES_PER_S = 24000 * 1000 / 167.1  # reference 1-GPU FB15k anchor
+
+_PROBE = """
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256)) @ jnp.ones((256, 256))
+assert float(x[0, 0]) == 256.0
+"""
+
+
+def wait_healthy(max_wait_s=1500, probe_timeout_s=90):
+    """Block until the device answers a tiny matmul, or max_wait_s.
+
+    The tunneled test TPU wedges intermittently (ops hang indefinitely,
+    flapping on the scale of tens of minutes) — a measurement started in
+    a wedged window would hang forever instead of recording a number.
+    The probe runs in a SUBPROCESS because a hung device op cannot be
+    cancelled in-process.  On a healthy device (or CPU) the first probe
+    passes in seconds.
+    """
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            subprocess.run([sys.executable, "-c", _PROBE], check=True,
+                           timeout=probe_timeout_s,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.time() >= deadline:
+                return False  # proceed anyway; better a late hang than none
+            time.sleep(45)
 
 GROUP_CALLS = 4       # calls per fenced timing group
 N_GROUPS = 8          # groups per measurement
@@ -37,6 +68,8 @@ RETRY_SPREAD = 3.0    # max/min group spread that triggers one retry
 
 
 def main():
+    wait_healthy()
+
     import jax
 
     try:
