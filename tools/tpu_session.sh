@@ -6,6 +6,11 @@
 # the axon plugin registration); run from the repo root instead.
 cd "$(dirname "$0")/.."
 LOG=tools/tpu_session.log
+# Persist compiles across windows: a superstep compile costs minutes over
+# the tunnel and used to be re-paid every window; with the cache a repeat
+# window spends its ~10-15 min on measurements instead.
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 stamp() { echo "=== $(date -u +%H:%M:%S) $1 ===" >> $LOG; }
 
 stamp "health"
