@@ -60,7 +60,12 @@ def main(argv=None):
         dataset = KGDataset(name=cfg.dataset,
                             n_entities=part.n_entities,
                             n_relations=part.n_relations,
-                            train=part.train)
+                            train=part.train,
+                            # this host's edge slice only: if eval splits are
+                            # ever attached here, the partitioned-filter guard
+                            # in trainer.evaluate() must refuse to build a
+                            # deflated FilterIndex from it
+                            train_partitioned=True)
     else:
         dataset = get_dataset(cfg.data_path, cfg.dataset, cfg.format,
                               cfg.delimiter, cfg.data_files,

@@ -223,6 +223,7 @@ def train(config: KGEConfig, dataset: KGDataset,
     logs: list = []
     start = time.time()
     sample_time = update_time = 0.0
+    valid_metrics = None
     tic = time.time()
     step = 0
     profiling = False
@@ -317,15 +318,19 @@ def train(config: KGEConfig, dataset: KGDataset,
 
         if (cfg.valid and valid_samplers is not None
                 and crossed(step, prev, cfg.eval_interval)):
-            vm = evaluate_with_samplers(model, state, valid_samplers,
-                                        phase="Valid", log=log, plan=plan)
+            valid_metrics = evaluate_with_samplers(
+                model, state, valid_samplers, phase="Valid", log=log,
+                plan=plan)
     if profiling:
         stop_profiler()
     total = time.time() - start
     log(f"[proc 0]training takes {total} seconds")
     if pipe is None:
         prefetch.close()
-    return model, state, {"train_time": total}
+    stats = {"train_time": total}
+    if valid_metrics is not None:
+        stats["valid_metrics"] = valid_metrics
+    return model, state, stats
 
 
 def evaluate(config: KGEConfig, dataset: KGDataset, model: KEModel,
@@ -533,8 +538,8 @@ def evaluate_candidates(model: KEModel, state: TrainState,
         with_ranks=(mode == "Valid"), with_top=(mode != "Valid"))
     b = sampler.batch_size
     n = len(sampler.hr)
-    k = sampler.cand.shape[1]
-    rows_cap = max(b, _MEGA_BUDGET // (int(k) * 4) // b * b)
+    n_cand = sampler.cand.shape[1]
+    rows_cap = max(b, _MEGA_BUDGET // (int(n_cand) * 4) // b * b)
     all_ranks, all_top10, all_ans = [], [], []
     for beg in range(0, n, rows_cap):
         hr = sampler.hr[beg:beg + rows_cap]
@@ -542,8 +547,11 @@ def evaluate_candidates(model: KEModel, state: TrainState,
         ans = (sampler.ans[beg:beg + rows_cap]
                if sampler.ans is not None else None)
         nn = len(hr)
-        pad = -nn % b
-        if pad:  # pad the tail to a whole batch; trimmed after the fetch
+        # pad the tail to a whole batch — and, when the split spans
+        # several chunks, all the way to rows_cap so every chunk shares
+        # ONE jit (m, b, k) shape; trimmed after the fetch via [:nn]
+        pad = (rows_cap - nn) if n > rows_cap else (-nn % b)
+        if pad:
             hr = np.concatenate([hr, np.repeat(hr[:1], pad, axis=0)])
             cand = np.concatenate([cand, np.repeat(cand[:1], pad, axis=0)])
             if ans is not None:
@@ -551,7 +559,8 @@ def evaluate_candidates(model: KEModel, state: TrainState,
         m = len(hr) // b
         a = (ans if ans is not None
              else np.zeros(m * b, np.int32)).reshape(m, b)
-        out = eval_fn(state, hr.reshape(m, b, 2), cand.reshape(m, b, k), a)
+        out = eval_fn(state, hr.reshape(m, b, 2),
+                      cand.reshape(m, b, n_cand), a)
         if mode == "Valid":
             all_ranks.append(np.asarray(out[0]).reshape(-1)[:nn])
         else:
@@ -604,7 +613,12 @@ def _mega_eval(mega_fn, state, batches, G):
         cap = max(G, _MEGA_BUDGET // per_batch // G * G)
         for c0 in range(0, len(idxs), cap):
             chunk = idxs[c0:c0 + cap]
-            m = -(-len(chunk) // G)
+            # when the bucket spans several chunks, pad the tail chunk up
+            # to the cap so every chunk shares ONE (M, F) jit shape —
+            # otherwise the tail compiles a second program, and a compile
+            # costs minutes on the tunneled TPU (results are trimmed
+            # per-batch below, so padding is free except for the compute)
+            m = cap // G if len(idxs) > cap else -(-len(chunk) // G)
             sel = np.concatenate(
                 [chunk, np.repeat(chunk[:1], m * G - len(chunk))])
             hs = np.stack([batches[i]["h"] for i in sel]).reshape(m, G, B)

@@ -64,11 +64,12 @@ def test_no_full_table_allgather(vocab_sharded_hlo):
     shapes = _collective_shapes(vocab_sharded_hlo)
     assert shapes, "no collectives found — sharding silently dropped?"
     # the largest legitimate collective is batch-derived: the fused
-    # [h|t|neg] row block is s*b-proportional (hundreds of rows), never
-    # table-proportional (N_ENT rows)
+    # [h|t|neg] row block is s*b-proportional (hundreds of rows x 32
+    # dims), never table-proportional (N_ENT x 32 elements).  Budget on
+    # TOTAL elements so a table gather reshaped to a small leading dim
+    # (f32[8, N_ENT/8, 32]) cannot slip through.
     for kind, dtype, dims in shapes:
-        rows = dims[0] if dims else 1
-        assert rows < N_ENT // 2, (
+        assert np.prod(dims or [1]) < (N_ENT // 2) * 32, (
             f"{kind} of shape {dtype}{dims} moves table-scale data — "
             "the vocab-sharded table is being gathered")
 
@@ -156,9 +157,13 @@ def test_sharded_eval_collectives_are_batch_proportional(sharded_eval_setup):
     shapes = _collective_shapes(lowered.compile().as_text())
     assert shapes, "no collectives at all — sharding silently dropped?"
     n = h.size  # 32 flattened eval rows
+    # TOTAL-element budget (not just the leading dim): the widest legitimate
+    # exchange is a batch row-block [~n, D] or a filter plane [~n, F]; a
+    # table-scale all-gather smuggled in with a small leading dim (e.g.
+    # f32[8, n_ent/8, D]) must fail this
+    budget = 4 * n * max(model.config.hidden_dim, fid.shape[-1])
     for kind, dtype, dims in shapes:
-        rows = dims[0] if dims else 1
-        assert rows <= 4 * n, (
+        assert np.prod(dims or [1]) <= budget, (
             f"{kind} of shape {dtype}{dims} moves more than "
             "batch-proportional data in the sharded eval")
 
@@ -190,9 +195,11 @@ def test_sharded_eval_megastep_matches_and_stays_batch_proportional(
     shapes = _collective_shapes(lowered.compile().as_text())
     assert shapes, "no collectives at all — sharding silently dropped?"
     n = h.size
+    # total-element budget, same rationale as the superstep test above;
+    # the megastep stacks m chunks, so scale the budget by m
+    budget = 4 * m * n * max(model.config.hidden_dim, fid.shape[-1])
     for kind, dtype, dims in shapes:
-        rows = dims[0] if dims else 1
-        assert rows <= 4 * n, (
+        assert np.prod(dims or [1]) <= budget, (
             f"{kind} of shape {dtype}{dims} moves more than "
             "batch-proportional data in the sharded eval megastep")
 
