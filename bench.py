@@ -67,7 +67,46 @@ MAX_WARM_GROUPS = 8   # cap on stability-warmup groups
 RETRY_SPREAD = 3.0    # max/min group spread that triggers one retry
 
 
+def probe_egress(out_path="EGRESS_PROBE.json", budget_s=15):
+    """Record whether THIS environment can reach the reference datasets.
+
+    Quality parity against the reference's published FB15k/wn18 tables
+    (/root/reference/docs/source/benchmarks.rst:37-49) requires downloading
+    the real datasets (data.dgl.ai).  The build environment has no egress
+    (DNS fails); the bench/driver environment may differ, so every bench
+    run re-probes and leaves a dated artifact either way — making the
+    claim surface honest: if "egress" is false in EGRESS_PROBE.json, every
+    MRR in this repo is synthetic-only by necessity, not by choice.
+    Non-fatal and time-bounded; never perturbs the measurement (runs
+    before warmup).
+    """
+    import socket
+    rec = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+           "host": "data.dgl.ai", "egress": False, "detail": ""}
+    try:
+        socket.setdefaulttimeout(budget_s)
+        ip = socket.gethostbyname(rec["host"])
+        rec["detail"] = f"resolved {ip}"
+        import urllib.request
+        r = urllib.request.urlopen(
+            "https://data.dgl.ai/dataset/FB15k.zip", timeout=budget_s)
+        rec["egress"] = True
+        rec["detail"] += f"; HTTP {r.status}, {r.headers.get('Content-Length')} bytes available"
+        r.close()
+    except Exception as e:  # noqa: BLE001 - probe must never kill the bench
+        rec["detail"] += f"; {type(e).__name__}: {e}"
+    finally:
+        socket.setdefaulttimeout(None)
+    try:
+        with open(out_path, "w") as f:
+            json.dump(rec, f)
+    except OSError:
+        pass
+    return rec["egress"]
+
+
 def main():
+    egress = probe_egress()
     wait_healthy()
 
     import jax
@@ -157,6 +196,11 @@ def main():
         "value": round(triples_per_s, 1),
         "unit": "triples/s",
         "vs_baseline": round(triples_per_s / V100_TRIPLES_PER_S, 3),
+        # synthetic edges at FB15k's exact vocab/hyperparameter shape:
+        # valid for THROUGHPUT (edge content cannot change the kernel),
+        # NOT a quality/MRR claim — see EGRESS_PROBE.json
+        "data": "synthetic(fb15k-shape)",
+        "egress": egress,
         "median_group_s": round(median_group, 4),
         "group_spread": round(spread, 3),
         "warm_groups": warm_groups,
