@@ -272,8 +272,11 @@ def _load_ogb(data_path: str, name: str) -> KGDataset:
     split_edge = dataset.get_edge_split()
     train, valid, test = split_edge["train"], split_edge["valid"], split_edge["test"]
     g = dataset[0]
-    n_entities = g["num_nodes"]
-    n_relations = int(max(g["edge_reltype"])[0]) + 1
+    n_entities = int(g["num_nodes"])
+    # edge_reltype is [E, 1] in ogb's dict-graph, but np.max handles any
+    # rank (the reference's max(...)[0] idiom, KGDataset.py:414, breaks on
+    # a 1-D array)
+    n_relations = int(np.max(np.asarray(g["edge_reltype"]))) + 1
 
     def tri(d):
         return (np.asarray(d["head"], np.int64),
