@@ -438,3 +438,68 @@ def synthetic_dataset(n_entities: int = 1000, n_relations: int = 20,
     return KGDataset(name=name, n_entities=n_entities,
                      n_relations=n_relations, train=sample(n_train),
                      valid=sample(n_valid), test=sample(n_test))
+
+
+def planted_dataset(structure: str, n_clusters: int = 10, per: int = 6,
+                    n_relations: int = 3, seed: int = 0,
+                    test_frac: float = 0.15) -> KGDataset:
+    """Planted-structure KGs each model family provably SOLVES (filtered
+    MRR ~1.0) — calibrated quality gates far stronger than the noisy
+    `synthetic_dataset` thresholds.  Entities live in `n_clusters`
+    clusters of `per`; edges are complete bipartite between cluster
+    pairs, so filtered eval removes every other true answer and a model
+    that learns the cluster map ranks the held-out edge first.
+
+    structure:
+      * "line": r_k maps cluster i -> i+k+1, NO wraparound — representable
+        as a constant translation (TransE/TransR) or phase shift (RotatE).
+        A cyclic variant would force the translation around the cycle to
+        sum to zero, which TransE cannot satisfy.
+      * "cliques": r_k connects all ordered pairs inside clusters with
+        cluster % n_relations == k — a SYMMETRIC relation, the one kind
+        DistMult (h^T diag(r) t, symmetric by construction) represents
+        exactly.
+      * "cycle": r_k maps cluster i -> (i+k+1) % n_clusters — an
+        asymmetric permutation map, natural for the bilinear family
+        (ComplEx/SimplE/RESCAL) which represents arbitrary cluster maps.
+    """
+    hs, rs, ts = [], [], []
+    if structure == "line":
+        for k in range(n_relations):
+            for i in range(n_clusters - (k + 1)):
+                for a in range(per):
+                    for b in range(per):
+                        hs.append(i * per + a)
+                        rs.append(k)
+                        ts.append((i + k + 1) * per + b)
+    elif structure == "cliques":
+        for i in range(n_clusters):
+            k = i % n_relations
+            for a in range(per):
+                for b in range(per):
+                    if a != b:
+                        hs.append(i * per + a)
+                        rs.append(k)
+                        ts.append(i * per + b)
+    elif structure == "cycle":
+        for k in range(n_relations):
+            for i in range(n_clusters):
+                j = (i + k + 1) % n_clusters
+                for a in range(per):
+                    for b in range(per):
+                        hs.append(i * per + a)
+                        rs.append(k)
+                        ts.append(j * per + b)
+    else:
+        raise ValueError(f"unknown planted structure {structure!r}")
+    h = np.array(hs, np.int64)
+    r = np.array(rs, np.int64)
+    t = np.array(ts, np.int64)
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(len(h))
+    h, r, t = h[idx], r[idx], t[idx]
+    n_test = int(len(h) * test_frac)
+    return KGDataset(name=f"planted_{structure}",
+                     n_entities=n_clusters * per, n_relations=n_relations,
+                     train=(h[n_test:], r[n_test:], t[n_test:]),
+                     test=(h[:n_test], r[:n_test], t[:n_test]))
