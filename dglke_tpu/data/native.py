@@ -59,6 +59,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.kge_sampler_superbatch.restype = None
         lib.kge_sampler_superbatch.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
+        lib.kge_sampler_superbatch_idx.restype = None
+        lib.kge_sampler_superbatch_idx.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p]
         lib.kge_sampler_destroy.restype = None
         lib.kge_sampler_destroy.argtypes = [ctypes.c_void_p]
         lib.kge_ldg_partition.restype = ctypes.c_int64
@@ -109,7 +113,8 @@ class NativeSuperbatchSampler:
     def __init__(self, h: np.ndarray, r: np.ndarray, t: np.ndarray,
                  n_entities: int, batch_size: int, neg_total: int,
                  steps_per_call: int, seed: int = 0,
-                 n_threads: Optional[int] = None):
+                 n_threads: Optional[int] = None,
+                 impts: Optional[np.ndarray] = None):
         lib = _load()
         if lib is None:
             raise RuntimeError("native sampler not available")
@@ -119,6 +124,12 @@ class NativeSuperbatchSampler:
         self._h = np.ascontiguousarray(h, np.int32)
         self._r = np.ascontiguousarray(r, np.int32)
         self._t = np.ascontiguousarray(t, np.int32)
+        # edge-importance plane: the C core emits the sampled edge indices
+        # and the [S, B] weights are gathered here (one vectorized take)
+        self._impts = (np.ascontiguousarray(impts, np.float32)
+                       if impts is not None else None)
+        if self._impts is not None:
+            assert len(self._impts) == len(self._h)
         self.batch_size = batch_size
         self.neg_total = neg_total
         self.s = steps_per_call
@@ -139,9 +150,16 @@ class NativeSuperbatchSampler:
 
     def __next__(self):
         out = np.empty((self.s, self.row_len), np.int32)
-        self._lib.kge_sampler_superbatch(self._handle, self.s,
-                                         out.ctypes.data)
-        return {"packed": out, "impts": None, "n_steps": self.s}
+        if self._impts is None:
+            self._lib.kge_sampler_superbatch(self._handle, self.s,
+                                             out.ctypes.data)
+            return {"packed": out, "impts": None, "n_steps": self.s}
+        idx = np.empty((self.s, self.batch_size), np.int32)
+        self._lib.kge_sampler_superbatch_idx(self._handle, self.s,
+                                             out.ctypes.data,
+                                             idx.ctypes.data)
+        return {"packed": out, "impts": self._impts[idx],
+                "n_steps": self.s}
 
     def __del__(self):
         try:

@@ -389,7 +389,8 @@ class KEModel:
 
     def make_device_pipeline_step(self, n_edges: int, batch_size: int,
                                   neg_total: int, steps_per_call: int,
-                                  donate: bool = True, plan=None):
+                                  donate: bool = True, plan=None,
+                                  with_impts: bool = False):
         """Fully device-resident pipeline: the training triples live in HBM
         and each call samples its own batches on device — no host work or
         host->device transfer in the hot loop at all.
@@ -415,8 +416,13 @@ class KEModel:
         s = steps_per_call
         use_async = self.config.async_update
 
-        def call(state, triples, cur, nxt, pos, epoch, call_idx, base_key,
-                 refresh_next):
+        def call(state, triples, impts_e, cur, nxt, pos, epoch, call_idx,
+                 base_key, refresh_next):
+            """impts_e: [E] fp32 per-edge importance weights (device-
+            resident, like triples) when with_impts; unused (None) else —
+            weights gather INSIDE the scanned step, so weighted training
+            keeps the zero-host-transfer hot loop (reference carries
+            edata['impts'] through its C++ sampler, sampler.py:338-344)."""
             if refresh_next:
                 ekey = jax.random.fold_in(base_key, epoch + 1)
                 nxt = jax.random.permutation(ekey, n_edges).astype(jnp.int32)
@@ -434,6 +440,7 @@ class KEModel:
                 h = triples[0, row_idx]
                 r = triples[1, row_idx]
                 t = triples[2, row_idx]
+                imp = impts_e[row_idx] if with_impts else None
                 neg = jax.random.randint(k, (neg_total,), 0,
                                          self.n_entities, dtype=jnp.int32)
                 if plan is not None:
@@ -445,10 +452,12 @@ class KEModel:
                     dp = NamedSharding(plan.mesh, PartitionSpec(plan.axis))
                     h, r, t, neg = (jax.lax.with_sharding_constraint(x, dp)
                                     for x in (h, r, t, neg))
+                    if imp is not None:
+                        imp = jax.lax.with_sharding_constraint(imp, dp)
                 if use_async:
                     return self.train_step_async(st, pend, h, r, t, neg,
-                                                 None, neg_head=neg_head)
-                st, log = self.train_step(st, h, r, t, neg, None,
+                                                 imp, neg_head=neg_head)
+                st, log = self.train_step(st, h, r, t, neg, imp,
                                           neg_head=neg_head)
                 return st, pend, log
 
@@ -470,7 +479,7 @@ class KEModel:
             return (state, nxt), {k: jnp.mean(v) for k, v in logs.items()}
 
         return jax.jit(call, static_argnames=("refresh_next",),
-                       donate_argnums=(0, 3) if donate else ())
+                       donate_argnums=(0, 4) if donate else ())  # state, nxt
 
     # -- evaluation ----------------------------------------------------------
 

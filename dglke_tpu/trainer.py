@@ -150,7 +150,6 @@ def train(config: KGEConfig, dataset: KGDataset,
     # over the dp axis inside the jitted call.  A host feed would cap a
     # multi-chip mesh at transfer latency.
     device_pipe_mode = (plan is not None and jax.process_count() == 1
-                        and not dataset.has_edge_importance
                         and dataset.n_train >= 2 * cfg.batch_size)
     # In scanned modes, fuse steps_per_call steps into one device call;
     # align the fusion with logging/eval cadence.
@@ -193,13 +192,12 @@ def train(config: KGEConfig, dataset: KGDataset,
         feeder = None
         try:
             from dglke_tpu.data import native
-            if (native.available()
-                    and not dataset.has_edge_importance):
+            if native.available():
                 feeder = native.NativeSuperbatchSampler(
                     sampler.h, sampler.r, sampler.t, sampler.n_entities,
                     cfg.batch_size,
                     sampler.num_chunks * sampler.neg_sample_size, s,
-                    seed=cfg.seed)
+                    seed=cfg.seed, impts=sampler.impts)
         except Exception:
             feeder = None
         if feeder is None:
@@ -427,15 +425,25 @@ class DevicePipeline:
                  plan=None):
         h, r, t = dataset.train[0], dataset.train[1], dataset.train[2]
         triples = np.stack([h, r, t]).astype(np.int32)
+        # edge-importance weights live in HBM next to the triples and are
+        # gathered inside the scanned step — weighted training keeps the
+        # zero-host-transfer hot loop
+        impts = (np.asarray(dataset.train[3], np.float32)
+                 if getattr(dataset, "has_edge_importance", False)
+                 and len(dataset.train) > 3 else None)
         if plan is not None:
             # replicate the edge list over the mesh; batches are split onto
             # the dp axis inside the jitted call (with_sharding_constraint)
             from jax.sharding import NamedSharding, PartitionSpec
             self._rep = NamedSharding(plan.mesh, PartitionSpec())
             self.triples = jax.device_put(triples, self._rep)
+            self.impts = (jax.device_put(impts, self._rep)
+                          if impts is not None else None)
         else:
             self._rep = None
             self.triples = jax.device_put(triples)
+            self.impts = (jax.device_put(impts)
+                          if impts is not None else None)
         self.n_edges = len(h)
         self.b = batch_size
         self.s = steps_per_call
@@ -443,7 +451,8 @@ class DevicePipeline:
             "device pipeline needs n_edges >= steps_per_call * batch_size; "
             "lower steps_per_call for tiny datasets")
         self.step_fn = model.make_device_pipeline_step(
-            self.n_edges, batch_size, neg_total, steps_per_call, plan=plan)
+            self.n_edges, batch_size, neg_total, steps_per_call, plan=plan,
+            with_impts=self.impts is not None)
         # rbg keys use the TPU's hardware RngBitGenerator: orders of
         # magnitude cheaper per scan iteration than threefry for the
         # per-step negative draws.
@@ -476,7 +485,7 @@ class DevicePipeline:
         # regenerated before the rotation below swaps it in as cur
         refresh = self.pos + self.s * self.b >= self.n_edges
         (state, self.nxt), logs = self.step_fn(
-            state, self.triples, self.cur, self.nxt,
+            state, self.triples, self.impts, self.cur, self.nxt,
             np.int32(self.pos), np.int32(self.epoch),
             np.int32(self.call_idx), self.base_key,
             refresh_next=refresh)

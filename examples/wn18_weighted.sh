@@ -4,6 +4,12 @@
 # its loss contribution (--has_edge_importance).
 # Data: wn18_weighted.tgz (train/valid/test_weight.txt, raw string triples +
 # importance) extracted under ./data/wn18_weighted/.
+#
+# Weighted edges ride the SAME fast paths as unweighted training: the
+# device-resident pipeline gathers the [E] importance plane in HBM inside
+# the scanned step (multi-device mesh), and the native C++ superbatch
+# producer emits the sampled edge indices so the host feed carries an
+# [S, B] impts plane (single device).  No slow-path fallback.
 set -e
 
 dglke_tpu-train --model_name TransE_l1 --dataset wn18-weight \

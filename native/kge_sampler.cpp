@@ -96,8 +96,12 @@ struct Sampler {
     pos = 0;
   }
 
-  // Fill out[S][3B + neg_total] with packed batches.
-  void superbatch(int32_t S, int32_t* out) {
+  // Fill out[S][3B + neg_total] with packed batches; when idx_out is
+  // non-null, also write the sampled edge INDICES [S, B] so the caller can
+  // gather per-edge side data (edge-importance weights) without the C ABI
+  // carrying floats (reference: the DGL EdgeSampler carries edata['impts']
+  // through its positive subgraph, sampler.py:338-344).
+  void superbatch(int32_t S, int32_t* out, int32_t* idx_out) {
     const int64_t B = batch_size;
     const int64_t row_len = 3 * B + neg_total;
     // 1) draw the positive edge indices serially from the permutation
@@ -111,6 +115,9 @@ struct Sampler {
       pos += take;
       got += take;
       need -= take;
+    }
+    if (idx_out != nullptr) {
+      std::memcpy(idx_out, idx.data(), (size_t)S * B * sizeof(int32_t));
     }
     // 2) parallel gather + negative generation per row
     uint64_t call = call_count++;
@@ -162,7 +169,14 @@ void* kge_sampler_create(const int32_t* h, const int32_t* r,
 }
 
 void kge_sampler_superbatch(void* handle, int32_t S, int32_t* out) {
-  static_cast<Sampler*>(handle)->superbatch(S, out);
+  static_cast<Sampler*>(handle)->superbatch(S, out, nullptr);
+}
+
+// Variant that also emits the sampled edge indices [S, B] (for gathering
+// per-edge side data such as edge-importance weights on the Python side).
+void kge_sampler_superbatch_idx(void* handle, int32_t S, int32_t* out,
+                                int32_t* idx_out) {
+  static_cast<Sampler*>(handle)->superbatch(S, out, idx_out);
 }
 
 void kge_sampler_destroy(void* handle) {

@@ -54,7 +54,7 @@ def vocab_sharded_hlo():
     fn = model.make_device_pipeline_step(ds.n_train, BATCH,
                                          cfg.num_chunks * NEG, 4,
                                          donate=False, plan=plan)
-    lowered = fn.lower(state, pipe.triples, pipe.cur, pipe.nxt,
+    lowered = fn.lower(state, pipe.triples, pipe.impts, pipe.cur, pipe.nxt,
                        jnp.int32(0), jnp.int32(0), jnp.int32(0),
                        jax.random.PRNGKey(0), refresh_next=False)
     return lowered.compile().as_text()

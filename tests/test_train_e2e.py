@@ -366,3 +366,68 @@ def test_mega_eval_bucketing_exact(monkeypatch):
     got = evaluate(cfg, ds, model, state, "test", log=lambda *a: None)
     for k in want:
         assert abs(want[k] - got[k]) < 1e-12, (k, want[k], got[k])
+
+
+def _weighted(ds, weights):
+    import dataclasses
+    return dataclasses.replace(ds, train=ds.train[:3] + (weights,))
+
+
+def test_device_pipeline_edge_importance(tiny_ds):
+    """Edge-importance through the device-resident pipeline: weights are
+    gathered inside the scanned step.  Invariants sharp enough to catch a
+    miswired gather: all-zero weights freeze the tables (pos AND neg loss
+    scale by w, models/loss.py; reg must be OFF — Adagrad normalizes even
+    a 1e-18 regularization gradient to a full lr-sized step), and all-one
+    weights reproduce the unweighted run bit for bit."""
+    from dglke_tpu.trainer import DevicePipeline
+
+    cfg = small_config(batch_size=100, neg_sample_size=50, steps_per_call=8,
+                       regularization_coef=0.0)
+    model = KEModel(cfg, tiny_ds.n_entities, tiny_ds.n_relations)
+    state0 = model.init_state(jax.random.PRNGKey(0))
+    emb0 = np.asarray(state0.entity.emb).copy()
+
+    def one_call(ds):
+        pipe = DevicePipeline(model, ds, cfg.batch_size,
+                              cfg.num_chunks * cfg.neg_sample_size,
+                              cfg.steps_per_call, seed=0)
+        st = model.init_state(jax.random.PRNGKey(0))
+        st, log = pipe.run_call(st)
+        return np.asarray(st.entity.emb), float(log["loss"])
+
+    zeros = _weighted(tiny_ds, np.zeros(tiny_ds.n_train, np.float32))
+    emb_z, loss_z = one_call(zeros)
+    np.testing.assert_array_equal(emb_z, emb0)   # zero grads everywhere
+    assert loss_z == 0.0
+
+    ones = _weighted(tiny_ds, np.ones(tiny_ds.n_train, np.float32))
+    emb_1, _ = one_call(ones)
+    emb_u, _ = one_call(tiny_ds)                 # unweighted
+    np.testing.assert_array_equal(emb_1, emb_u)
+
+    # non-trivial weights actually change the trajectory
+    rng = np.random.RandomState(0)
+    wts = rng.uniform(0.1, 2.0, tiny_ds.n_train).astype(np.float32)
+    emb_w, loss_w = one_call(_weighted(tiny_ds, wts))
+    assert not np.array_equal(emb_w, emb_u)
+    assert np.isfinite(loss_w)
+
+
+def test_weighted_training_uses_fast_paths_and_learns(tiny_ds):
+    """Weighted edges no longer fall back to the slow host feed: the
+    device-resident pipeline (mesh plan) and the native superbatch
+    producer (packed mode) both carry the [S, B] impts plane, and
+    training still learns."""
+    rng = np.random.RandomState(1)
+    ds = _weighted(tiny_ds,
+                   rng.uniform(0.5, 1.5, tiny_ds.n_train).astype(np.float32))
+    # device-resident pipeline (plan set, single process)
+    plan = ShardingPlan(make_mesh(len(jax.devices())))
+    cfg = small_config(max_step=200, steps_per_call=8)
+    _, _, metrics, _ = _run(cfg, ds, plan=plan)
+    assert metrics["MRR"] > 0.15, metrics
+    # packed superbatch mode (no plan): native feeder when built
+    cfg2 = small_config(max_step=200, steps_per_call=8)
+    _, _, m2, _ = _run(cfg2, ds)
+    assert m2["MRR"] > 0.15, m2
