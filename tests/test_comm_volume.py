@@ -1,0 +1,42 @@
+"""CI guard on the comm-volume scaling record (tools/comm_volume.py).
+
+The multi-chip claim's quantitative proxy: compiled-HLO collective bytes
+must scale with the BATCH and not with the mesh or the table, and the
+per-device table residency must fall as 1/n.  Runs the tool in a
+subprocess because it needs its own device count (32 virtual CPUs vs
+conftest's 8)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_comm_volume_scaling_record():
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=16",
+               DGLKE_COMM_SIZES="8,16")
+    env.pop("PYTHONPATH", None)  # the tool inserts the repo root itself
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "comm_volume.py"),
+         "--json"],
+        capture_output=True, text=True, timeout=540, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    rows = {r["n_devices"]: r for r in rec["rows"]}
+    assert set(rows) == {8, 16}
+    for n, r in rows.items():
+        # comm ∝ batch: doubling the batch ~doubles the collective bytes
+        assert 1.6 <= r["batch_ratio"] <= 2.4, r
+        # comm NOT ∝ table: a table gather would cost >= E*H*4 bytes alone
+        table_bytes = rec["n_entities"] * rec["hidden_dim"] * 4
+        assert r["train_bytes_per_step_b64"] < table_bytes, r
+        # 1/n residency
+        assert r["table_rows_per_device"] == -(-rec["n_entities"] // n)
+    # growing the mesh must not grow per-step collective traffic
+    assert (rows[16]["train_bytes_per_step_b64"]
+            <= 1.1 * rows[8]["train_bytes_per_step_b64"]), rows
+    # eval traffic is batch-derived, so it is mesh-size-invariant
+    assert rows[8]["eval_bytes_per_call"] == rows[16]["eval_bytes_per_call"]
