@@ -953,3 +953,77 @@ def test_embedding_init_matches_reference_range():
     # fills the range (not degenerate)
     assert emb.max() > 0.8 * EMB_INIT and emb.min() < -0.8 * EMB_INIT
     assert np.all(np.asarray(table.state_sum) == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# sampled-negative eval parity (--neg_sample_size_eval protocol:
+# sampler.py:563-591 false_neg bias + general_models.py:436-478 masked rank)
+
+
+@pytest.mark.parametrize("neg_head", [False, True])
+def test_sampled_eval_matches_reference_transcription(neg_head):
+    """The sampled-negative eval against a from-scratch oracle: the
+    reference's EdgeSampler marks candidate j false-negative for row i
+    when the corrupted triple EXISTS in the full graph — including the
+    row's own answer drawn among the candidates — sets bias = -1 there
+    (sampler.py:586-591), and forward_test counts neg >= pos only where
+    bias != -1 (general_models.py:463-478).  The oracle recomputes the
+    mask with a python set (independent of FilterIndex's searchsorted)
+    and the scores with the float64 TransE_l2 formula."""
+    from dglke_tpu.data.dataset import KGDataset
+    from dglke_tpu.data.sampler import FilterIndex
+
+    n_ent, n_rel, bsz, k = 30, 3, 8, 12
+    rng = np.random.RandomState(4)
+    h = rng.randint(0, n_ent, 60)
+    r = rng.randint(0, n_rel, 60)
+    t = rng.randint(0, n_ent, 60)
+    ds = KGDataset(name="x", n_entities=n_ent, n_relations=n_rel,
+                   train=(h[:40].astype(np.int64), r[:40].astype(np.int64),
+                          t[:40].astype(np.int64)),
+                   test=(h[40:48].astype(np.int64),
+                         r[40:48].astype(np.int64),
+                         t[40:48].astype(np.int64)))
+    fi = FilterIndex(ds)
+    triples = set(zip(h.tolist(), r.tolist(), t.tolist()))
+    qh, qr, qt = (np.asarray(x, np.int32) for x in ds.test[:3])
+    # engineered candidates: each row's own answer appears (cols 0..B-1 are
+    # the batch's answers), guaranteeing own-answer collisions; the rest
+    # uniform
+    own = (qh if neg_head else qt).astype(np.int32)
+    neg = np.concatenate([own[: k // 2],
+                          rng.randint(0, n_ent, k - k // 2)]).astype(np.int32)
+
+    cfg = KGEConfig(model_name="TransE_l2", hidden_dim=HIDDEN, gamma=GAMMA)
+    model = KEModel(cfg, n_ent, n_rel)
+    state = model.init_state(jax.random.PRNGKey(5))
+    keep = fi.false_neg_mask("head" if neg_head else "tail", qh, qr, qt, neg)
+    got = np.asarray(model.eval_ranks_sampled(
+        state, jnp.asarray(qh), jnp.asarray(qr), jnp.asarray(qt),
+        jnp.asarray(neg), jnp.asarray(keep), neg_head=neg_head))
+
+    # oracle in float64 with set-membership bias
+    ent = np.asarray(state.entity.emb, np.float64)[:, :HIDDEN]
+    rel = np.asarray(state.relation.emb, np.float64)
+
+    def score(hh, rr, tt):
+        return GAMMA - np.sqrt(
+            np.sum((ent[hh] + rel[rr] - ent[tt]) ** 2, axis=-1) + 1e-30)
+
+    for i in range(bsz):
+        pos = score(qh[i], qr[i], qt[i])
+        if neg_head:
+            s = score(neg, np.full(k, qr[i]), np.full(k, qt[i]))
+            bias = np.array([-1.0 if (int(c), int(qr[i]), int(qt[i]))
+                             in triples else 0.0 for c in neg])
+        else:
+            s = score(np.full(k, qh[i]), np.full(k, qr[i]), neg)
+            bias = np.array([-1.0 if (int(qh[i]), int(qr[i]), int(c))
+                             in triples else 0.0 for c in neg])
+        mask = bias != -1.0
+        # the row's own answer must actually occur among the candidates
+        # for at least the first half of rows (engineered above)
+        if i < k // 2:
+            assert not mask[i], "engineered own-answer collision missing"
+        want = np.sum((s >= pos) & mask) + 1
+        assert got[i] == want, (i, got[i], want)
