@@ -150,20 +150,33 @@ class TransRScore(ScoreFunction):
         object.__setattr__(self, "name", "TransR")
 
     def project(self, ent, proj):
-        """ent: [B, De], proj: [B, De*Dr] -> [B, Dr]."""
+        """ent: [B, De], proj: [B, De*Dr] -> [B, Dr].
+
+        Broadcast-multiply + reduce rather than einsum: each edge is an
+        M=1 matvec, which the MXU pads to a full tile (x8 wasted rows) and
+        precision="highest" then multiplies by 6 passes; the VPU form is
+        exact f32 and bandwidth-bound on the one unavoidable read of the
+        projection rows (reference prepare, score_fun.py:131-148)."""
         p = proj.reshape(-1, self.entity_dim, self.relation_dim)
-        return jnp.einsum("bd,bdr->br", ent, p,
-                          preferred_element_type=jnp.float32, precision="highest")
+        return jnp.sum(ent[:, :, None] * p, axis=1)
 
     def neg_project(self, neg_ent, proj, num_chunks):
         """neg_ent: [C*K, De], proj: [B, De*Dr] (per positive edge) ->
         [C, Bc, K, Dr]: every chunk negative projected by every chunk
-        relation."""
+        relation.
+
+        This is a genuine MXU matmul ([K, De] x [De, Bc*Dr] per chunk) —
+        unlike the M=1 per-edge projections, which use the VPU form (see
+        project).  precision="high" (bf16x3, ~2^-21 relative error,
+        f32-equivalent for scores) instead of "highest" (6-pass):
+        measured 499 vs 843 us fwd+bwd at the FB15k TransR shape on a
+        v5e (tools/diag_bilinear.py)."""
         p = proj.reshape(num_chunks, -1, self.entity_dim, self.relation_dim)
         n = neg_ent.reshape(num_chunks, 1, -1, self.entity_dim)
         # [C, Bc, K, Dr]
         return jnp.einsum("cxkd,cbdr->cbkr", n, p,
-                          preferred_element_type=jnp.float32, precision="highest")
+                          preferred_element_type=jnp.float32,
+                          precision="high")
 
     def pos_score(self, head, rel, tail):
         # head/tail already projected to [B, Dr]
@@ -328,8 +341,11 @@ class RESCALScore(ScoreFunction):
         return rel.reshape(rel.shape[:-1] + (self.relation_dim, self.entity_dim))
 
     def pos_score(self, head, rel, tail):
-        rt = jnp.einsum("...re,...e->...r", self._mat(rel), tail,
-                        preferred_element_type=jnp.float32, precision="highest")
+        # Per-edge matvecs (M=1) pad catastrophically on the MXU and
+        # "highest" costs 6 passes on top; the broadcast-reduce form runs
+        # on the VPU in exact f32, bandwidth-bound on the one unavoidable
+        # read of the [B, Dr*De] relation rows.
+        rt = jnp.sum(self._mat(rel) * tail[..., None, :], axis=-1)
         return jnp.sum(head * rt, axis=-1)
 
     def neg_score(self, emb, rel, neg_emb, *, neg_head, num_chunks,
@@ -338,8 +354,8 @@ class RESCALScore(ScoreFunction):
         rmat = self._mat(rel)
         if neg_head:
             # tmp = R t per edge; score vs neg heads: h' . (R t)
-            tmp = jnp.einsum("bre,be->br", rmat, emb,
-                             preferred_element_type=jnp.float32, precision="highest")
+            # (VPU broadcast-reduce: see pos_score)
+            tmp = jnp.sum(rmat * emb[:, None, :], axis=-1)
         else:
             # tmp = h^T R per edge; score vs neg tails: (h^T R) . t'.
             # NOTE deviation: the reference computes (R h) . t' = h^T R^T t'
@@ -347,8 +363,7 @@ class RESCALScore(ScoreFunction):
             # edge_func h . (R t) and untested (its unit test only covers
             # chunk-head).  We keep neg/pos algebraically consistent because
             # our filtered eval mixes both forms on the same scores.
-            tmp = jnp.einsum("bre,br->be", rmat, emb,
-                             preferred_element_type=jnp.float32, precision="highest")
+            tmp = jnp.sum(rmat * emb[:, :, None], axis=1)
         tmp = tmp.reshape(num_chunks, chunk_size, d)
         neg = neg_emb.reshape(num_chunks, neg_sample_size, d)
         return jnp.einsum("cbd,ckd->cbk", tmp, neg,

@@ -1,0 +1,161 @@
+"""Round-3 TPU-window captures -> driver-visible artifacts.
+
+Each step runs standalone (its own process under its own timeout in
+tools/tpu_session.sh style) and writes a JSON fragment under tools/;
+`merge` composes BENCH_EXTRA_r03.json at the repo root from whatever
+fragments exist, so a wedged tunnel mid-window still yields a partial
+record with session provenance.
+
+Steps:
+  models   — RESCAL / TransR full train step after the round-3 kernel
+             restructure (VPU broadcast-reduce matvecs, bf16x3
+             neg_project); shapes of docs/benchmarks.md's model table.
+  wikikg2  — large-vocab (2.5M entities) device-pipeline throughput.
+  eval     — fused filtered full-entity eval, FB15k shape, B=512.
+  merge    — compose BENCH_EXTRA_r03.json.
+
+Usage:  python tools/capture_r3.py <step>
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")  # repo root; PYTHONPATH breaks the axon plugin
+
+FRAG = {
+    "models": "tools/session_r3_models.json",
+    "wikikg2": "tools/session_r3_wikikg2.json",
+    "eval": "tools/session_r3_eval.json",
+}
+
+
+def _write(step, payload):
+    payload["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(FRAG[step], "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+def step_models():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from dglke_tpu.config import KGEConfig
+    from dglke_tpu.models.ke_model import KEModel
+
+    S = 1024
+    out = {}
+    for name, dim in (("TransR", 100), ("RESCAL", 200)):
+        cfg = KGEConfig(model_name=name, hidden_dim=dim, gamma=19.9,
+                        lr=0.25, batch_size=1000, neg_sample_size=200,
+                        neg_adversarial_sampling=True)
+        model = KEModel(cfg, 14951, 1345)
+        state = model.init_state(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        h = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
+        r = jnp.asarray(rng.randint(0, 1345, 1000), jnp.int32)
+        t = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
+        neg = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
+
+        @jax.jit
+        def loop(st):
+            def body(st, i):
+                st2, log = model.train_step(st, h, r, t, (neg + i) % 14951,
+                                            None, neg_head=False)
+                return st2, log["loss"]
+            st, losses = lax.scan(body, st, jnp.arange(S))
+            return losses[-1]
+
+        float(loop(state))
+        t0 = time.time()
+        float(loop(state))
+        dt = (time.time() - t0 - 0.040) / S
+        out[name] = {"us_per_step": round(dt * 1e6, 1),
+                     "mtriples_per_s": round(1000 / dt / 1e6, 3),
+                     "hidden_dim": dim}
+    _write("models", out)
+
+
+def step_wikikg2():
+    import jax
+    from dglke_tpu.config import KGEConfig
+    from dglke_tpu.data.dataset import synthetic_dataset
+    from dglke_tpu.models.ke_model import KEModel
+    from dglke_tpu.trainer import DevicePipeline
+
+    cfg = KGEConfig(model_name="TransE_l2", hidden_dim=200, gamma=19.9,
+                    lr=0.25, batch_size=1000, neg_sample_size=200,
+                    neg_adversarial_sampling=True, steps_per_call=512)
+    n_ent, n_rel = 2_500_604, 535
+    ds = synthetic_dataset(n_entities=n_ent, n_relations=n_rel,
+                           n_train=4_096_000, seed=0)
+    model = KEModel(cfg, n_ent, n_rel)
+    state = model.init_state(jax.random.PRNGKey(0))
+    pipe = DevicePipeline(model, ds, cfg.batch_size,
+                          cfg.num_chunks * cfg.neg_sample_size,
+                          cfg.steps_per_call, seed=0)
+    log = None
+    for _ in range(9):     # one epoch + 1: compiles both jit variants
+        state, log = pipe.run_call(state)
+    float(log["loss"])
+    t0 = time.time()
+    for _ in range(12):
+        state, log = pipe.run_call(state)
+    float(log["loss"])
+    dt = time.time() - t0
+    _write("wikikg2", {
+        "metric": "wikikg2_scale_train_throughput",
+        "n_entities": n_ent, "hidden_dim": 200,
+        "data": "synthetic(wikikg2-shape)",
+        "value": round(12 * 512 * 1000 / dt / 1e6, 3),
+        "unit": "Mtriples/s"})
+
+
+def step_eval():
+    import jax
+    from dglke_tpu.config import KGEConfig
+    from dglke_tpu.data.dataset import synthetic_dataset
+    from dglke_tpu.data.sampler import FilterIndex
+    from dglke_tpu.models.ke_model import KEModel
+    from dglke_tpu.trainer import evaluate
+
+    ds = synthetic_dataset(n_entities=14951, n_relations=1345,
+                           n_train=483142, n_test=10000, seed=0)
+    cfg = KGEConfig(model_name="TransE_l2", hidden_dim=400, gamma=19.9,
+                    lr=0.25, batch_size=1000, neg_sample_size=200,
+                    batch_size_eval=512)
+    model = KEModel(cfg, 14951, 1345)
+    state = model.init_state(jax.random.PRNGKey(0))
+    fi = FilterIndex(ds)
+    evaluate(cfg, ds, model, state, "test", filter_index=fi,
+             log=lambda *a: None)   # compile
+    t0 = time.time()
+    evaluate(cfg, ds, model, state, "test", filter_index=fi,
+             log=lambda *a: None)
+    dt = time.time() - t0
+    _write("eval", {
+        "metric": "fb15k_shape_filtered_eval_throughput",
+        "data": "synthetic(fb15k-shape)", "batch_size_eval": 512,
+        "value": round(10000 / dt, 1), "unit": "edges/s"})
+
+
+def step_merge():
+    rec = {"round": 3, "device": "1x v5e (tunneled)",
+           "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+           "provenance": "tools/tpu_session.sh round-3 window; "
+                         "fragments under tools/session_r3_*.json"}
+    for step, path in FRAG.items():
+        if os.path.exists(path):
+            with open(path) as f:
+                rec[step] = json.load(f)
+    with open("BENCH_EXTRA_r03.json", "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    {"models": step_models, "wikikg2": step_wikikg2,
+     "eval": step_eval, "merge": step_merge}[sys.argv[1]]()
