@@ -179,6 +179,11 @@ def segment_dedup(ids: jnp.ndarray, grads: jnp.ndarray
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Static-shape dedup: sum gradient rows of duplicate ids.
 
+    NOT on the production path: sparse_adagrad_update needs no dedup (see
+    its docstring for the ordering proof).  Kept as the documented
+    equivalence BASELINE — tests/test_embedding.py checks the dedup-free
+    update against an explicitly deduplicated one built on this.
+
     Returns (uniq_ids [N], uniq_grads [N, D], uniq_sq [N]) where only the
     first `n_unique` slots are populated; the rest have id 0 and zero grads
     (safe no-op rows for scatter-add).  uniq_sq is the segment sum of

@@ -25,9 +25,11 @@ import time
 sys.path.insert(0, ".")  # repo root; PYTHONPATH breaks the axon plugin
 
 FRAG = {
-    "models": "tools/session_r3_models.json",
+    "transr": "tools/session_r3_transr.json",
+    "rescal": "tools/session_r3_rescal.json",
     "wikikg2": "tools/session_r3_wikikg2.json",
     "eval": "tools/session_r3_eval.json",
+    "bf16": "tools/session_r3_bf16.json",
 }
 
 
@@ -38,7 +40,7 @@ def _write(step, payload):
     print(json.dumps(payload))
 
 
-def step_models():
+def step_model(step_key, name, dim):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,37 +48,73 @@ def step_models():
     from dglke_tpu.config import KGEConfig
     from dglke_tpu.models.ke_model import KEModel
 
-    S = 1024
-    out = {}
-    for name, dim in (("TransR", 100), ("RESCAL", 200)):
-        cfg = KGEConfig(model_name=name, hidden_dim=dim, gamma=19.9,
-                        lr=0.25, batch_size=1000, neg_sample_size=200,
-                        neg_adversarial_sampling=True)
-        model = KEModel(cfg, 14951, 1345)
-        state = model.init_state(jax.random.PRNGKey(0))
-        rng = np.random.RandomState(0)
-        h = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
-        r = jnp.asarray(rng.randint(0, 1345, 1000), jnp.int32)
-        t = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
-        neg = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
+    S = 512  # overhead still amortizes to < 0.1 us/step
+    cfg = KGEConfig(model_name=name, hidden_dim=dim, gamma=19.9,
+                    lr=0.25, batch_size=1000, neg_sample_size=200,
+                    neg_adversarial_sampling=True)
+    model = KEModel(cfg, 14951, 1345)
+    state = model.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    h = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
+    r = jnp.asarray(rng.randint(0, 1345, 1000), jnp.int32)
+    t = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
+    neg = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
 
-        @jax.jit
-        def loop(st):
-            def body(st, i):
-                st2, log = model.train_step(st, h, r, t, (neg + i) % 14951,
-                                            None, neg_head=False)
-                return st2, log["loss"]
-            st, losses = lax.scan(body, st, jnp.arange(S))
-            return losses[-1]
+    @jax.jit
+    def loop(st):
+        def body(st, i):
+            st2, log = model.train_step(st, h, r, t, (neg + i) % 14951,
+                                        None, neg_head=False)
+            return st2, log["loss"]
+        st, losses = lax.scan(body, st, jnp.arange(S))
+        return losses[-1]
 
-        float(loop(state))
-        t0 = time.time()
-        float(loop(state))
-        dt = (time.time() - t0 - 0.040) / S
-        out[name] = {"us_per_step": round(dt * 1e6, 1),
-                     "mtriples_per_s": round(1000 / dt / 1e6, 3),
-                     "hidden_dim": dim}
-    _write("models", out)
+    float(loop(state))
+    t0 = time.time()
+    float(loop(state))
+    dt = (time.time() - t0 - 0.040) / S
+    _write(step_key, {"model": name, "hidden_dim": dim,
+                      "us_per_step": round(dt * 1e6, 1),
+                      "mtriples_per_s": round(1000 / dt / 1e6, 3)})
+
+
+def step_bf16():
+    """Headline shape with bf16 TABLE STORAGE (optimizer math stays f32;
+    --emb_dtype bfloat16).  The matmul-form models sit at the row-movement
+    floor (docs/benchmarks.md), so halving the row bytes is the next
+    lever; labeled as a storage-dtype variant — the reference stores f32."""
+    import jax
+    from dglke_tpu.config import KGEConfig
+    from dglke_tpu.data.dataset import synthetic_dataset
+    from dglke_tpu.models.ke_model import KEModel
+    from dglke_tpu.trainer import DevicePipeline
+
+    cfg = KGEConfig(model_name="TransE_l2", hidden_dim=400, gamma=19.9,
+                    lr=0.25, batch_size=1000, neg_sample_size=200,
+                    neg_adversarial_sampling=True,
+                    regularization_coef=1e-9, steps_per_call=1024,
+                    emb_dtype="bfloat16")
+    n_ent, n_rel = 14951, 1345
+    ds = synthetic_dataset(n_entities=n_ent, n_relations=n_rel,
+                           n_train=4_096_000, seed=0)
+    model = KEModel(cfg, n_ent, n_rel)
+    state = model.init_state(jax.random.PRNGKey(0))
+    pipe = DevicePipeline(model, ds, cfg.batch_size,
+                          cfg.num_chunks * cfg.neg_sample_size,
+                          cfg.steps_per_call, seed=0)
+    log = None
+    for _ in range(5):   # one epoch (4 calls) + 1: both jit variants
+        state, log = pipe.run_call(state)
+    float(log["loss"])
+    t0 = time.time()
+    for _ in range(8):
+        state, log = pipe.run_call(state)
+    float(log["loss"])
+    dt = time.time() - t0
+    _write("bf16", {
+        "metric": "fb15k_transe_l2_train_throughput_bf16_tables",
+        "data": "synthetic(fb15k-shape)", "emb_dtype": "bfloat16",
+        "value": round(8 * 1024 * 1000 / dt, 1), "unit": "triples/s"})
 
 
 def step_wikikg2():
@@ -157,5 +195,7 @@ def step_merge():
 
 
 if __name__ == "__main__":
-    {"models": step_models, "wikikg2": step_wikikg2,
+    {"transr": lambda: step_model("transr", "TransR", 100),
+     "rescal": lambda: step_model("rescal", "RESCAL", 200),
+     "wikikg2": step_wikikg2, "bf16": step_bf16,
      "eval": step_eval, "merge": step_merge}[sys.argv[1]]()
