@@ -341,11 +341,18 @@ class RESCALScore(ScoreFunction):
         return rel.reshape(rel.shape[:-1] + (self.relation_dim, self.entity_dim))
 
     def pos_score(self, head, rel, tail):
-        # Per-edge matvecs (M=1) pad catastrophically on the MXU and
-        # "highest" costs 6 passes on top; the broadcast-reduce form runs
-        # on the VPU in exact f32, bandwidth-bound on the one unavoidable
-        # read of the [B, Dr*De] relation rows.
-        rt = jnp.sum(self._mat(rel) * tail[..., None, :], axis=-1)
+        # Kept as einsum after a same-session full-step A/B
+        # (tools/diag_rescal_step.py, v5e): the ISOLATED matvec is 5x
+        # faster as a VPU broadcast-reduce (tools/diag_bilinear.py,
+        # 195 vs 929 us fwd+bwd), but inside the jitted train step the
+        # broadcast form measures 5998 vs 5364 us/step — XLA fuses the
+        # dot-general with its surroundings (gather, neg matmul, backward
+        # transpose-dots) in a way the explicit broadcast breaks.
+        # Precision is also step-level free here (default == highest,
+        # 5361 vs 5364 us), so keep exact "highest".
+        rt = jnp.einsum("...re,...e->...r", self._mat(rel), tail,
+                        preferred_element_type=jnp.float32,
+                        precision="highest")
         return jnp.sum(head * rt, axis=-1)
 
     def neg_score(self, emb, rel, neg_emb, *, neg_head, num_chunks,
@@ -354,8 +361,9 @@ class RESCALScore(ScoreFunction):
         rmat = self._mat(rel)
         if neg_head:
             # tmp = R t per edge; score vs neg heads: h' . (R t)
-            # (VPU broadcast-reduce: see pos_score)
-            tmp = jnp.sum(rmat * emb[:, None, :], axis=-1)
+            tmp = jnp.einsum("bre,be->br", rmat, emb,
+                             preferred_element_type=jnp.float32,
+                             precision="highest")
         else:
             # tmp = h^T R per edge; score vs neg tails: (h^T R) . t'.
             # NOTE deviation: the reference computes (R h) . t' = h^T R^T t'
@@ -363,7 +371,9 @@ class RESCALScore(ScoreFunction):
             # edge_func h . (R t) and untested (its unit test only covers
             # chunk-head).  We keep neg/pos algebraically consistent because
             # our filtered eval mixes both forms on the same scores.
-            tmp = jnp.sum(rmat * emb[:, :, None], axis=1)
+            tmp = jnp.einsum("bre,br->be", rmat, emb,
+                             preferred_element_type=jnp.float32,
+                             precision="highest")
         tmp = tmp.reshape(num_chunks, chunk_size, d)
         neg = neg_emb.reshape(num_chunks, neg_sample_size, d)
         return jnp.einsum("cbd,ckd->cbk", tmp, neg,

@@ -234,7 +234,15 @@ def sparse_adagrad_update(table: EmbeddingState, ids: jnp.ndarray,
             or e <= _DENSE_SMALL_ROWS:
         # WIDE rows over a SMALL table (RESCAL relation matrices, TransR
         # projections): XLA's scatter-add collapses on wide rows (measured
-        # 11.5 ms for 1000x40000 rows on a v5e vs 0.3 ms for the gather).
+        # 11.5 ms for 1000x40000 rows on a v5e vs 0.3 ms for the gather;
+        # splitting the scatter into narrow column chunks makes it WORSE —
+        # 31-93 ms, tools/diag_widerow.py — while the dense arm runs the
+        # same write-back in 0.43 ms).  Precision note: the one-hot matmul
+        # at DEFAULT TPU precision rounds the deltas to bf16 (~2^-9
+        # relative, f32 accumulate; the one-hot side is exact).  Measured
+        # acceptable: a hi/lo split restoring f32 fidelity costs 4.3x
+        # (1.88 ms), and the full RESCAL step is precision-insensitive
+        # (default == highest within noise, tools/diag_rescal_step.py).
         # Also any SMALL table (relation tables): the [E, N] one-hot
         # matmul is then cheaper than the scatter's random row writes
         # (tools/diag_relupdate.py on a v5e: dense 51 vs scatter 72 us at
