@@ -431,3 +431,16 @@ def test_weighted_training_uses_fast_paths_and_learns(tiny_ds):
     cfg2 = small_config(max_step=200, steps_per_call=8)
     _, _, m2, _ = _run(cfg2, ds)
     assert m2["MRR"] > 0.15, m2
+
+
+def test_weighted_device_pipeline_vocab_sharded(tiny_ds):
+    """Edge-importance gather inside the scanned step must compose with
+    vocab-sharded tables (with_sharding_constraint on the dp axis) and
+    still learn."""
+    rng = np.random.RandomState(2)
+    ds = _weighted(tiny_ds,
+                   rng.uniform(0.5, 1.5, tiny_ds.n_train).astype(np.float32))
+    plan = ShardingPlan(make_mesh(8), table_sharding="vocab")
+    cfg = small_config(max_step=200, steps_per_call=8)
+    _, _, metrics, _ = _run(cfg, ds, plan=plan)
+    assert metrics["MRR"] > 0.15, metrics
