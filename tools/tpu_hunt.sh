@@ -1,0 +1,35 @@
+#!/bin/bash
+# Catch-a-window runner for the tunneled test TPU.
+#
+# The tunnel wedges intermittently (flaps on the scale of minutes to
+# hours; see CLAUDE.md).  This loop probes with a tiny matmul in a
+# SIGKILL-hardened timeout (a wedged device op can survive SIGTERM and
+# stall a plain `timeout`), and runs the given command once in the first
+# healthy window.  Compile caches persist across attempts, so a window
+# that dies mid-compile still makes the next attempt cheaper.
+#
+# Usage:  bash tools/tpu_hunt.sh [budget_s] <command...>
+#   e.g.  bash tools/tpu_hunt.sh 580 python -u tools/diag_rescal_parts.py
+#
+# Appends all output to tools/tpu_session.log.  Exits 0 when the command
+# has run to completion once (regardless of its exit code — inspect the
+# log); loops forever until then, so run it under nohup / a supervisor.
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+LOG=tools/tpu_session.log
+BUDGET=${1:-580}
+shift
+while true; do
+  if timeout -k 10 90 python -c "import jax, jax.numpy as jnp; x = jnp.ones((256,256)) @ jnp.ones((256,256)); assert float(x[0,0])==256.0" 2>/dev/null; then
+    echo "=== $(date -u +%H:%M:%S) tpu_hunt: running '$*' (budget ${BUDGET}s) ===" >> "$LOG"
+    if timeout -k 10 "$BUDGET" "$@" >> "$LOG" 2>&1; then
+      echo "=== $(date -u +%H:%M:%S) tpu_hunt: COMPLETE ===" >> "$LOG"
+      exit 0
+    fi
+    echo "=== $(date -u +%H:%M:%S) tpu_hunt: FAILED/HUNG, will retry ===" >> "$LOG"
+  else
+    echo "=== $(date -u +%H:%M:%S) tpu_hunt: wedged ===" >> "$LOG"
+  fi
+  sleep 45
+done
