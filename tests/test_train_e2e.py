@@ -444,3 +444,34 @@ def test_weighted_device_pipeline_vocab_sharded(tiny_ds):
     cfg = small_config(max_step=200, steps_per_call=8)
     _, _, metrics, _ = _run(cfg, ds, plan=plan)
     assert metrics["MRR"] > 0.15, metrics
+
+
+def test_mega_eval_single_jit_shape_per_bucket(monkeypatch):
+    """When a width bucket spans several chunks, the tail chunk is padded
+    up to the cap so EVERY chunk shares one (M, G, B, F) jit shape — a
+    second shape means a second compile, minutes on the tunneled TPU.
+    Wraps the megastep to record call shapes."""
+    import dglke_tpu.trainer as tr
+
+    ds = synthetic_dataset(n_entities=80, n_relations=3, n_train=1500,
+                           n_test=400, seed=9)
+    cfg = small_config(batch_size_eval=4, max_step=1)
+    model = KEModel(cfg, ds.n_entities, ds.n_relations)
+    state = model.init_state(jax.random.PRNGKey(1))
+    shapes = []
+    real = model.make_eval_megastep()
+
+    def spy(st, hs, rs, ts, fid, fm, neg_head):
+        shapes.append((hs.shape, fid.shape))
+        return real(st, hs, rs, ts, fid, fm, neg_head)
+
+    monkeypatch.setattr(KEModel, "make_eval_megastep", lambda self: spy)
+    monkeypatch.setattr(tr, "_MEGA_BUDGET", 4 * 64 * 5 * 4)  # ~4 batches
+    evaluate(cfg, ds, model, state, "test", log=lambda *a: None)
+    assert len(shapes) > 2, "budget did not force multiple chunks"
+    per_width = {}
+    for hs_shape, fid_shape in shapes:
+        per_width.setdefault(fid_shape[-1], set()).add((hs_shape, fid_shape))
+    for f, ss in per_width.items():
+        assert len(ss) == 1, (
+            f"bucket F={f} dispatched {len(ss)} distinct jit shapes: {ss}")
