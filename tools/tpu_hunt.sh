@@ -21,7 +21,15 @@ LOG=tools/tpu_session.log
 BUDGET=${1:-580}
 shift
 while true; do
-  if timeout -k 10 90 python -c "import jax, jax.numpy as jnp; x = jnp.ones((256,256)) @ jnp.ones((256,256)); assert float(x[0,0])==256.0" 2>/dev/null; then
+  # Probe with a FRESH matmul shape each attempt: a fixed tiny matmul
+  # hits the persistent compile cache and can pass while the remote
+  # compile service is wedged — the very capability most runs need.
+  D=$((257 + RANDOM % 1000))
+  if timeout -k 10 150 python -c "
+import jax, jax.numpy as jnp
+d = $D
+x = jnp.ones((d, d)) @ jnp.ones((d, d))
+assert float(x[0, 0]) == d" 2>/dev/null; then
     echo "=== $(date -u +%H:%M:%S) tpu_hunt: running '$*' (budget ${BUDGET}s) ===" >> "$LOG"
     if timeout -k 10 "$BUDGET" "$@" >> "$LOG" 2>&1; then
       echo "=== $(date -u +%H:%M:%S) tpu_hunt: COMPLETE ===" >> "$LOG"
