@@ -34,9 +34,14 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_SO_PATH):
-            src = os.path.join(_NATIVE_DIR, "kge_sampler.cpp")
-            if not os.path.exists(src):
+        srcs = [os.path.join(_NATIVE_DIR, f)
+                for f in ("kge_sampler.cpp", "ldg_partition.cpp")]
+        stale = (os.path.exists(_SO_PATH)
+                 and any(os.path.exists(s)
+                         and os.path.getmtime(s) > os.path.getmtime(_SO_PATH)
+                         for s in srcs))
+        if not os.path.exists(_SO_PATH) or stale:
+            if not os.path.exists(srcs[0]):
                 _build_failed = True
                 return None
             try:
@@ -50,28 +55,41 @@ def _load() -> Optional[ctypes.CDLL]:
         except OSError:
             _build_failed = True
             return None
-        lib.kge_sampler_create.restype = ctypes.c_void_p
-        lib.kge_sampler_create.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_uint64, ctypes.c_int,
-        ]
-        lib.kge_sampler_superbatch.restype = None
-        lib.kge_sampler_superbatch.argtypes = [
-            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
-        lib.kge_sampler_superbatch_idx.restype = None
-        lib.kge_sampler_superbatch_idx.argtypes = [
-            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
-            ctypes.c_void_p]
-        lib.kge_sampler_destroy.restype = None
-        lib.kge_sampler_destroy.argtypes = [ctypes.c_void_p]
-        lib.kge_ldg_partition.restype = ctypes.c_int64
-        lib.kge_ldg_partition.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
-            ctypes.c_void_p]
+        try:
+            _bind(lib)
+        except AttributeError:
+            # .so predates a symbol in the current ABI (stale build the
+            # mtime check could not catch, e.g. touched after a pull):
+            # degrade to unavailable instead of raising at import/use time
+            _build_failed = True
+            return None
         _lib = lib
         return _lib
+
+
+def _bind(lib) -> None:
+    """Declare the C ABI; raises AttributeError on a stale .so missing a
+    symbol (handled in _load)."""
+    lib.kge_sampler_create.restype = ctypes.c_void_p
+    lib.kge_sampler_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_uint64, ctypes.c_int,
+    ]
+    lib.kge_sampler_superbatch.restype = None
+    lib.kge_sampler_superbatch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
+    lib.kge_sampler_superbatch_idx.restype = None
+    lib.kge_sampler_superbatch_idx.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.kge_sampler_destroy.restype = None
+    lib.kge_sampler_destroy.argtypes = [ctypes.c_void_p]
+    lib.kge_ldg_partition.restype = ctypes.c_int64
+    lib.kge_ldg_partition.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
+        ctypes.c_void_p]
 
 
 def available() -> bool:

@@ -152,12 +152,19 @@ class TransRScore(ScoreFunction):
     def project(self, ent, proj):
         """ent: [B, De], proj: [B, De*Dr] -> [B, Dr].
 
-        Broadcast-multiply + reduce rather than einsum: each edge is an
-        M=1 matvec, which the MXU pads to a full tile (x8 wasted rows) and
-        precision="highest" then multiplies by 6 passes; the VPU form is
-        exact f32 and bandwidth-bound on the one unavoidable read of the
-        projection rows (reference prepare, score_fun.py:131-148)."""
+        f32 inputs: broadcast-multiply + reduce rather than einsum — each
+        edge is an M=1 matvec, which the MXU pads to a full tile (x8
+        wasted rows) and precision="highest" then multiplies by 6 passes;
+        the VPU form is exact f32 and bandwidth-bound on the one
+        unavoidable read of the projection rows (reference prepare,
+        score_fun.py:131-148).  bf16 inputs (--compute_dtype bfloat16):
+        keep the einsum — the MXU multiplies bf16 exactly into an f32
+        accumulator in ONE pass, whereas the VPU broadcast would round
+        every product to bf16 before summing."""
         p = proj.reshape(-1, self.entity_dim, self.relation_dim)
+        if ent.dtype == jnp.bfloat16 or p.dtype == jnp.bfloat16:
+            return jnp.einsum("bd,bdr->br", ent, p,
+                              preferred_element_type=jnp.float32)
         return jnp.sum(ent[:, :, None] * p, axis=1)
 
     def neg_project(self, neg_ent, proj, num_chunks):

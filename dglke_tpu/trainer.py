@@ -261,8 +261,9 @@ def train(config: KGEConfig, dataset: KGDataset,
                 profile_dir = None
             if (cfg.valid and valid_samplers is not None
                     and crossed(step, prev, cfg.eval_interval)):
-                evaluate_with_samplers(model, state, valid_samplers,
-                                       phase="Valid", log=log, plan=plan)
+                valid_metrics = evaluate_with_samplers(
+                    model, state, valid_samplers, phase="Valid", log=log,
+                    plan=plan)
             if (save_fn is not None and cfg.save_interval > 0
                     and crossed(step, prev, cfg.save_interval)):
                 save_fn(state, step)

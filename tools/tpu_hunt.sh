@@ -18,8 +18,16 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 LOG=tools/tpu_session.log
-BUDGET=${1:-580}
-shift
+case "${1:-}" in
+  ''|*[!0-9]*)  # no numeric budget given: default and treat $1 as command
+    BUDGET=580 ;;
+  *)
+    BUDGET=$1; shift ;;
+esac
+if [ $# -eq 0 ]; then
+  echo "usage: tpu_hunt.sh [budget_s] <command...>" >&2
+  exit 2
+fi
 while true; do
   # Probe with a FRESH matmul shape each attempt: a fixed tiny matmul
   # hits the persistent compile cache and can pass while the remote
