@@ -59,10 +59,30 @@ def _load() -> Optional[ctypes.CDLL]:
             _bind(lib)
         except AttributeError:
             # .so predates a symbol in the current ABI (stale build the
-            # mtime check could not catch, e.g. touched after a pull):
-            # degrade to unavailable instead of raising at import/use time
-            _build_failed = True
-            return None
+            # mtime check could not catch, e.g. restored from a build
+            # cache newer than the sources): force ONE clean rebuild.
+            # dlopen caches by PATHNAME (the stale handle is never
+            # dlclosed), so re-opening _SO_PATH would return the old
+            # mapping — load the rebuilt library through a unique temp
+            # path instead (the mapping survives the unlink).
+            try:
+                os.remove(_SO_PATH)
+                subprocess.run(["make", "-C", _NATIVE_DIR],
+                               check=True, capture_output=True, timeout=120)
+                import shutil
+                import tempfile
+                fd, fresh = tempfile.mkstemp(suffix=".so",
+                                             prefix="kge_native_")
+                os.close(fd)
+                try:
+                    shutil.copy(_SO_PATH, fresh)
+                    lib = ctypes.CDLL(fresh)
+                    _bind(lib)
+                finally:
+                    os.unlink(fresh)
+            except Exception:
+                _build_failed = True
+                return None
         _lib = lib
         return _lib
 

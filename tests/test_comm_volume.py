@@ -4,7 +4,8 @@ The multi-chip claim's quantitative proxy: compiled-HLO collective bytes
 must scale with the BATCH and not with the mesh or the table, and the
 per-device table residency must fall as 1/n.  Runs the tool in a
 subprocess because it needs its own device count (32 virtual CPUs vs
-conftest's 8)."""
+conftest's 8); covers the full n = 8/16/32 sweep that the
+docs/benchmarks.md table publishes."""
 
 import json
 import os
@@ -16,8 +17,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_comm_volume_scaling_record():
     env = dict(os.environ,
-               XLA_FLAGS="--xla_force_host_platform_device_count=16",
-               DGLKE_COMM_SIZES="8,16")
+               XLA_FLAGS="--xla_force_host_platform_device_count=32",
+               DGLKE_COMM_SIZES="8,16,32")
     env.pop("PYTHONPATH", None)  # the tool inserts the repo root itself
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "comm_volume.py"),
@@ -26,7 +27,7 @@ def test_comm_volume_scaling_record():
     assert out.returncode == 0, out.stderr[-2000:]
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     rows = {r["n_devices"]: r for r in rec["rows"]}
-    assert set(rows) == {8, 16}
+    assert set(rows) == {8, 16, 32}
     for n, r in rows.items():
         # comm ∝ batch: doubling the batch ~doubles the collective bytes
         assert 1.6 <= r["batch_ratio"] <= 2.4, r
@@ -36,7 +37,10 @@ def test_comm_volume_scaling_record():
         # 1/n residency
         assert r["table_rows_per_device"] == -(-rec["n_entities"] // n)
     # growing the mesh must not grow per-step collective traffic
-    assert (rows[16]["train_bytes_per_step_b64"]
-            <= 1.1 * rows[8]["train_bytes_per_step_b64"]), rows
+    for n in (16, 32):
+        assert (rows[n]["train_bytes_per_step_b64"]
+                <= 1.1 * rows[8]["train_bytes_per_step_b64"]), rows
     # eval traffic is batch-derived, so it is mesh-size-invariant
-    assert rows[8]["eval_bytes_per_call"] == rows[16]["eval_bytes_per_call"]
+    assert (rows[8]["eval_bytes_per_call"]
+            == rows[16]["eval_bytes_per_call"]
+            == rows[32]["eval_bytes_per_call"])

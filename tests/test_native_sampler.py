@@ -109,3 +109,43 @@ def test_impts_plane_matches_sampled_edges():
     # and the epoch coverage guarantee still holds with the idx variant
     first_epoch = np.concatenate(seen)[:n_edges]
     assert np.array_equal(np.sort(first_epoch), np.arange(n_edges))
+
+
+def test_stale_so_missing_symbol_triggers_one_rebuild(tmp_path, monkeypatch):
+    """A cached .so that predates the current ABI (missing a symbol, mtime
+    newer than the sources so the staleness check passes it) must force ONE
+    clean rebuild instead of disabling the native sampler for the process
+    (data/native.py _load's AttributeError recovery)."""
+    import subprocess
+    import sys
+
+    # a loadable .so that exports none of the kge_* symbols
+    src = tmp_path / "empty.c"
+    src.write_text("int kge_unrelated(void) { return 0; }\n")
+    stale_so = tmp_path / "libkge_native.so"
+    subprocess.run(["gcc", "-shared", "-fPIC", "-o", str(stale_so),
+                    str(src)], check=True)
+    # a fake `make` dir whose Makefile installs the REAL library
+    (tmp_path / "Makefile").write_text(
+        "all:\n\tcp {} libkge_native.so\n".format(native._SO_PATH))
+    # sources newer-looking than nothing: copy one real source so the
+    # mtime staleness check has something to compare (and passes: the
+    # stale .so is touched newer)
+    real_src = native._NATIVE_DIR + "/kge_sampler.cpp"
+    (tmp_path / "kge_sampler.cpp").write_text(open(real_src).read())
+    stale_so.touch()
+
+    monkeypatch.setattr(native, "_NATIVE_DIR", str(tmp_path))
+    monkeypatch.setattr(native, "_SO_PATH", str(stale_so))
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_build_failed", False)
+    try:
+        lib = native._load()
+        assert lib is not None, "rebuild recovery did not produce a usable lib"
+        # the rebuilt .so really is the recovered one, with the full ABI
+        assert hasattr(lib, "kge_sampler_superbatch_idx")
+    finally:
+        # restore the module's cached real handle for later tests
+        monkeypatch.undo()
+        native._lib = None
+        native._build_failed = False

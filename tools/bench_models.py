@@ -10,48 +10,27 @@ Usage:  python tools/bench_models.py   (run from the repo root on TPU)
 """
 
 import sys
-import time
 
 sys.path.insert(0, ".")  # repo root; PYTHONPATH breaks the axon plugin
 
 import jax
-import jax.numpy as jnp
-import numpy as np
-from jax import lax
 
 from dglke_tpu.config import KGEConfig
 from dglke_tpu.models.ke_model import KEModel
 
 S = 1024
-CALL_OVERHEAD_S = 0.040
 
 
 def step_time(name, **extra):
+    from tools._timing import fetch_timed, train_step_harness
     dim = extra.pop("hidden_dim", 400)
     cfg = KGEConfig(model_name=name, hidden_dim=dim, gamma=19.9, lr=0.25,
                     batch_size=1000, neg_sample_size=200,
                     neg_adversarial_sampling=True, **extra)
     model = KEModel(cfg, 14951, 1345)
     state = model.init_state(jax.random.PRNGKey(0))
-    rng = np.random.RandomState(0)
-    h = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
-    r = jnp.asarray(rng.randint(0, 1345, 1000), jnp.int32)
-    t = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
-    neg = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
-
-    @jax.jit
-    def loop(st):
-        def body(st, i):
-            st2, log = model.train_step(st, h, r, t, (neg + i) % 14951,
-                                        None, neg_head=False)
-            return st2, log["loss"]
-        st, losses = lax.scan(body, st, jnp.arange(S))
-        return losses[-1]
-
-    float(loop(state))  # compile + warm
-    t0 = time.time()
-    float(loop(state))  # completion forced by the scalar fetch
-    dt = (time.time() - t0 - CALL_OVERHEAD_S) / S
+    loop = train_step_harness(model, S)
+    dt = fetch_timed(lambda: float(loop(state)), S)
     print(f"{name:10s} dim={dim:4d}: {dt * 1e6:8.1f} us/step "
           f"= {1000 / dt / 1e6:5.2f}M triples/s")
 

@@ -42,11 +42,9 @@ def _write(step, payload):
 
 def step_model(step_key, name, dim):
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax import lax
     from dglke_tpu.config import KGEConfig
     from dglke_tpu.models.ke_model import KEModel
+    from tools._timing import fetch_timed, train_step_harness
 
     S = 512  # overhead still amortizes to < 0.1 us/step
     cfg = KGEConfig(model_name=name, hidden_dim=dim, gamma=19.9,
@@ -54,25 +52,8 @@ def step_model(step_key, name, dim):
                     neg_adversarial_sampling=True)
     model = KEModel(cfg, 14951, 1345)
     state = model.init_state(jax.random.PRNGKey(0))
-    rng = np.random.RandomState(0)
-    h = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
-    r = jnp.asarray(rng.randint(0, 1345, 1000), jnp.int32)
-    t = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
-    neg = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
-
-    @jax.jit
-    def loop(st):
-        def body(st, i):
-            st2, log = model.train_step(st, h, r, t, (neg + i) % 14951,
-                                        None, neg_head=False)
-            return st2, log["loss"]
-        st, losses = lax.scan(body, st, jnp.arange(S))
-        return losses[-1]
-
-    float(loop(state))
-    t0 = time.time()
-    float(loop(state))
-    dt = (time.time() - t0 - 0.040) / S
+    loop = train_step_harness(model, S)
+    dt = fetch_timed(lambda: float(loop(state)), S)
     _write(step_key, {"model": name, "hidden_dim": dim,
                       "us_per_step": round(dt * 1e6, 1),
                       "mtriples_per_s": round(1000 / dt / 1e6, 3)})

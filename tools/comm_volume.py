@@ -45,10 +45,15 @@ from dglke_tpu.models.ke_model import KEModel  # noqa: E402
 from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh  # noqa: E402
 from dglke_tpu.trainer import DevicePipeline  # noqa: E402
 
+# One instruction line: everything between `=` and the op name is the
+# result shape (possibly a tuple).  `-start` matches the async forms
+# (all-gather-start etc.); `-done` lines deliberately do NOT match (the
+# start already carries the shapes — counting both would double-count).
 _COLLECTIVE = re.compile(
-    r"=\s+\(?([a-z0-9]+)\[([0-9,]*)\][^=]*?"
+    r"=\s+([^=]*?)\s*"
     r"(all-gather|all-reduce|collective-permute|all-to-all|reduce-scatter)"
-    r"[.\s(]")
+    r"(-start)?[.\s(]")
+_SHAPE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
 _BYTES = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
           "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
           "pred": 1}
@@ -58,10 +63,16 @@ HID = 32
 
 
 def collective_bytes(hlo: str) -> int:
+    """Total bytes in all collective results (every shape of a tuple
+    result counts: variadic all-reduces move each member).  For async
+    `-start` ops the result tuple also aliases the operand buffer, so
+    this slightly OVERcounts them — safe for the upper-bound guards in
+    tests/test_comm_volume.py (an undercount could never trip one)."""
     total = 0
     for m in _COLLECTIVE.finditer(hlo):
-        dims = [int(d) for d in m.group(2).split(",") if d]
-        total += int(np.prod(dims or [1])) * _BYTES.get(m.group(1), 4)
+        for dtype, dims_s in _SHAPE.findall(m.group(1)):
+            dims = [int(d) for d in dims_s.split(",") if d]
+            total += int(np.prod(dims or [1])) * _BYTES.get(dtype, 4)
     return total
 
 

@@ -14,7 +14,6 @@ Usage:  python tools/diag_bilinear.py   (repo root, on TPU)
 """
 
 import sys
-import time
 
 sys.path.insert(0, ".")  # PYTHONPATH breaks the axon plugin registration
 
@@ -24,7 +23,6 @@ import numpy as np
 from jax import lax
 
 S = 256
-OVERHEAD_S = 0.040
 
 B, DR, DE = 1000, 200, 200          # RESCAL shape (dim 200)
 C, BC, K, TD = 5, 200, 200, 100     # TransR shape (dim 100)
@@ -32,6 +30,7 @@ C, BC, K, TD = 5, 200, 200, 100     # TransR shape (dim 100)
 
 def timeit(name, fn, *args):
     """Time fn(carry, *args) -> scalar, scanned S times."""
+    from tools._timing import fetch_timed
 
     @jax.jit
     def loop(a0):
@@ -41,10 +40,7 @@ def timeit(name, fn, *args):
         return c
 
     z = jnp.zeros((), jnp.float32)
-    float(loop(z))  # compile + warm
-    t0 = time.time()
-    float(loop(z))
-    dt = (time.time() - t0 - OVERHEAD_S) / S
+    dt = fetch_timed(lambda: float(loop(z)), S)
     print(f"  {name:44s} {dt * 1e6:9.1f} us")
     return dt
 

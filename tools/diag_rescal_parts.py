@@ -11,7 +11,6 @@ Usage:  python tools/diag_rescal_parts.py   (repo root, on TPU)
 """
 
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -28,6 +27,8 @@ S = 256
 
 
 def bench(tag, make_body, state):
+    from tools._timing import fetch_timed
+
     @jax.jit
     def loop(st):
         def sbody(st, i):
@@ -35,10 +36,7 @@ def bench(tag, make_body, state):
         st, out = lax.scan(sbody, st, jnp.arange(S))
         return out[-1] if out is not None else jnp.float32(0)
 
-    float(jnp.sum(loop(state)))
-    t0 = time.time()
-    float(jnp.sum(loop(state)))
-    dt = (time.time() - t0 - 0.040) / S
+    dt = fetch_timed(lambda: float(jnp.sum(loop(state))), S)
     print(f"  {tag:44s} {dt * 1e6:9.1f} us/step", flush=True)
 
 

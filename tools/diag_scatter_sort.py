@@ -13,7 +13,6 @@ Usage:  python tools/diag_scatter_sort.py   (repo root, on TPU)
 """
 
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -27,6 +26,8 @@ E, D, N = 14951, 400, 4000
 
 
 def bench(tag, step):
+    from tools._timing import fetch_timed
+
     @jax.jit
     def loop(tab):
         def body(c, i):
@@ -34,13 +35,14 @@ def bench(tag, step):
         c, _ = lax.scan(body, tab, jnp.arange(S))
         return c
 
-    tab0 = jnp.zeros((E, D), jnp.float32)
-    tab = loop(tab0)
-    float(tab[0, 0])
-    t0 = time.time()
-    tab = loop(tab)
-    float(tab[0, 0])
-    dt = (time.time() - t0 - 0.040) / S
+    tab = jnp.zeros((E, D), jnp.float32)
+
+    def run():
+        nonlocal tab
+        tab = loop(tab)
+        float(tab[0, 0])
+
+    dt = fetch_timed(run, S)
     print(f"  {tag:44s} {dt * 1e6:9.1f} us", flush=True)
 
 

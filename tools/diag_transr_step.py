@@ -10,14 +10,11 @@ Usage:  python tools/diag_transr_step.py   (repo root, on TPU)
 """
 
 import sys
-import time
 
 sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax import lax
 
 import dglke_tpu.models.score_functions as SF
 from dglke_tpu.config import KGEConfig
@@ -27,30 +24,14 @@ S = 512
 
 
 def step_time(tag):
+    from tools._timing import fetch_timed, train_step_harness
     cfg = KGEConfig(model_name="TransR", hidden_dim=100, gamma=19.9,
                     lr=0.25, batch_size=1000, neg_sample_size=200,
                     neg_adversarial_sampling=True)
     model = KEModel(cfg, 14951, 1345)
     state = model.init_state(jax.random.PRNGKey(0))
-    rng = np.random.RandomState(0)
-    h = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
-    r = jnp.asarray(rng.randint(0, 1345, 1000), jnp.int32)
-    t = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
-    neg = jnp.asarray(rng.randint(0, 14951, 1000), jnp.int32)
-
-    @jax.jit
-    def loop(st):
-        def body(st, i):
-            st2, log = model.train_step(st, h, r, t, (neg + i) % 14951,
-                                        None, neg_head=False)
-            return st2, log["loss"]
-        st, losses = lax.scan(body, st, jnp.arange(S))
-        return losses[-1]
-
-    float(loop(state))
-    t0 = time.time()
-    float(loop(state))
-    dt = (time.time() - t0 - 0.040) / S
+    loop = train_step_harness(model, S)
+    dt = fetch_timed(lambda: float(loop(state)), S)
     print(f"  {tag:44s} {dt * 1e6:9.1f} us/step", flush=True)
     return dt
 

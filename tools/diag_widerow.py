@@ -19,7 +19,6 @@ Usage:  python tools/diag_widerow.py   (repo root, on TPU)
 """
 
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -29,11 +28,12 @@ import numpy as np
 from jax import lax
 
 S = 64
-OVERHEAD_S = 0.040
 N = 1000
 
 
 def timed(name, step, tab0, consts):
+    from tools._timing import fetch_timed
+
     @jax.jit
     def loop(tab):
         def body(c, _):
@@ -41,12 +41,14 @@ def timed(name, step, tab0, consts):
         c, _ = lax.scan(body, tab, None, length=S)
         return c
 
-    tab = loop(tab0)
-    float(tab[0, 0])
-    t0 = time.time()
-    tab = loop(tab)
-    float(tab[0, 0])
-    dt = (time.time() - t0 - OVERHEAD_S) / S
+    tab = tab0
+
+    def run():
+        nonlocal tab
+        tab = loop(tab)
+        float(tab[0, 0])
+
+    dt = fetch_timed(run, S)
     print(f"  {name:42s} {dt * 1e6:9.1f} us", flush=True)
 
 

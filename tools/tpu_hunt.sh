@@ -39,11 +39,17 @@ d = $D
 x = jnp.ones((d, d)) @ jnp.ones((d, d))
 assert float(x[0, 0]) == d" 2>/dev/null; then
     echo "=== $(date -u +%H:%M:%S) tpu_hunt: running '$*' (budget ${BUDGET}s) ===" >> "$LOG"
-    if timeout -k 10 "$BUDGET" "$@" >> "$LOG" 2>&1; then
-      echo "=== $(date -u +%H:%M:%S) tpu_hunt: COMPLETE ===" >> "$LOG"
+    timeout -k 10 "$BUDGET" "$@" >> "$LOG" 2>&1
+    RC=$?
+    # 124 = timed out, 137 = needed the -k SIGKILL: only a HANG retries.
+    # Any other rc means the command ran to completion (the documented
+    # contract) — retrying a deterministic failure would burn every
+    # healthy window repeating it.
+    if [ "$RC" -ne 124 ] && [ "$RC" -ne 137 ]; then
+      echo "=== $(date -u +%H:%M:%S) tpu_hunt: COMPLETE (rc $RC) ===" >> "$LOG"
       exit 0
     fi
-    echo "=== $(date -u +%H:%M:%S) tpu_hunt: FAILED/HUNG, will retry ===" >> "$LOG"
+    echo "=== $(date -u +%H:%M:%S) tpu_hunt: HUNG (rc $RC), will retry ===" >> "$LOG"
   else
     echo "=== $(date -u +%H:%M:%S) tpu_hunt: wedged ===" >> "$LOG"
   fi
