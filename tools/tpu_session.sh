@@ -29,63 +29,19 @@ timeout 900 python bench.py >> $LOG 2>&1 || stamp "bench FAILED/HUNG"
 
 
 
-stamp "fused filtered eval (FB15k shape)"
-timeout 500 python -c "
-import sys, time; sys.path.insert(0, '.')
-import jax
-from dglke_tpu.config import KGEConfig
-from dglke_tpu.data.dataset import synthetic_dataset
-from dglke_tpu.models.ke_model import KEModel
-from dglke_tpu.trainer import evaluate
-ds = synthetic_dataset(n_entities=14951, n_relations=1345, n_train=483142, n_test=10000, seed=0)
-cfg = KGEConfig(model_name='TransE_l2', hidden_dim=400, gamma=19.9, lr=0.25,
-                batch_size=1000, neg_sample_size=200, batch_size_eval=64)
-model = KEModel(cfg, 14951, 1345)
-state = model.init_state(jax.random.PRNGKey(0))
-from dglke_tpu.data.sampler import FilterIndex
-fi = FilterIndex(ds)
-evaluate(cfg, ds, model, state, 'test', filter_index=fi, log=lambda *a: None)
-t0 = time.time()
-evaluate(cfg, ds, model, state, 'test', filter_index=fi, log=lambda *a: None)
-dt = time.time() - t0
-print(f'fused eval (B=64): {10000/dt:.0f} edges/s')
-import dataclasses
-cfg2 = dataclasses.replace(cfg, batch_size_eval=512)
-evaluate(cfg2, ds, model, state, 'test', filter_index=fi, log=lambda *a: None)
-t0 = time.time()
-evaluate(cfg2, ds, model, state, 'test', filter_index=fi, log=lambda *a: None)
-dt = time.time() - t0
-print(f'fused eval (B=512): {10000/dt:.0f} edges/s')" >> $LOG 2>&1 || stamp "eval FAILED/HUNG"
+stamp "fused filtered eval (FB15k shape) -> fragment"
+timeout 500 python tools/capture_r3.py eval >> $LOG 2>&1 || stamp "eval FAILED/HUNG"
 
 stamp "diag_relupdate (scatter vs dense one-hot Adagrad, small tables)"
 timeout 600 python -c "
 import sys; sys.path.insert(0, '.')
 import runpy; runpy.run_path('tools/diag_relupdate.py', run_name='__main__')" >> $LOG 2>&1 || stamp "relupdate FAILED/HUNG"
 
-stamp "large-vocab train (wikikg2 scale)"
-timeout 580 python -c "
-import sys, time; sys.path.insert(0, '.')
-import jax
-from dglke_tpu.config import KGEConfig
-from dglke_tpu.data.dataset import synthetic_dataset
-from dglke_tpu.models.ke_model import KEModel
-from dglke_tpu.trainer import DevicePipeline
-cfg = KGEConfig(model_name='TransE_l2', hidden_dim=200, gamma=19.9, lr=0.25,
-                batch_size=1000, neg_sample_size=200,
-                neg_adversarial_sampling=True, steps_per_call=512)
-ds = synthetic_dataset(n_entities=2_500_604, n_relations=535, n_train=4_096_000, seed=0)
-model = KEModel(cfg, 2_500_604, 535)
-state = model.init_state(jax.random.PRNGKey(0))
-pipe = DevicePipeline(model, ds, cfg.batch_size,
-                      cfg.num_chunks * cfg.neg_sample_size, cfg.steps_per_call, seed=0)
-log = None
-# warm one full epoch + 1: the straddling call is a second jit variant
-for _ in range(9): state, log = pipe.run_call(state)
-float(log['loss'])
-t0 = time.time()
-for _ in range(12): state, log = pipe.run_call(state)
-float(log['loss']); dt = time.time() - t0
-print(f'wikikg2-scale: {12*512*1000/dt/1e6:.2f}M triples/s')" >> $LOG 2>&1 || stamp "large-vocab FAILED/HUNG"
+stamp "large-vocab train (wikikg2 scale) -> fragment"
+timeout 580 python tools/capture_r3.py wikikg2 >> $LOG 2>&1 || stamp "large-vocab FAILED/HUNG"
+
+stamp "refresh driver-visible BENCH_EXTRA from whatever fragments exist"
+timeout 60 python tools/capture_r3.py merge >> $LOG 2>&1 || stamp "merge FAILED"
 
 stamp "diag_transfer (h2d paths: bulk vs jit-arg vs dispatch)"
 timeout 400 python tools/diag_transfer.py >> $LOG 2>&1 || stamp "diag_transfer FAILED/HUNG"
