@@ -30,10 +30,16 @@ import time
 
 V100_TRIPLES_PER_S = 24000 * 1000 / 167.1  # reference 1-GPU FB15k anchor
 
+# The probe matmul uses a FRESH random dim each attempt: the execution
+# path and the remote compile service wedge independently, and a fixed
+# shape hits the persistent compile cache — it would pass while compiles
+# hang (the tools/tpu_hunt.sh lesson, commit-documented in CLAUDE.md).
 _PROBE = """
+import random
 import jax, jax.numpy as jnp
-x = jnp.ones((256, 256)) @ jnp.ones((256, 256))
-assert float(x[0, 0]) == 256.0
+d = 257 + random.randrange(1000)
+x = jnp.ones((d, d)) @ jnp.ones((d, d))
+assert float(x[0, 0]) == float(d)
 """
 
 

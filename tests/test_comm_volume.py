@@ -44,3 +44,29 @@ def test_comm_volume_scaling_record():
     assert (rows[8]["eval_bytes_per_call"]
             == rows[16]["eval_bytes_per_call"]
             == rows[32]["eval_bytes_per_call"])
+
+
+def test_collective_bytes_counting_rule():
+    """Locks the HLO counting rule: every member of a tuple result is
+    summed, async -start forms count once, and -done lines do not add
+    (the start already carried the shapes)."""
+    sys.path.insert(0, REPO)
+    from tools.comm_volume import collective_bytes
+
+    sync = "  %ar = f32[8,64]{1,0} all-reduce(f32[8,64] %p), to_apply=%add\n"
+    assert collective_bytes(sync) == 8 * 64 * 4
+
+    tup = ("  %v = (f32[8,64], bf16[4,4]) all-reduce(%a, %b), "
+           "to_apply=%add\n")
+    assert collective_bytes(tup) == 8 * 64 * 4 + 4 * 4 * 2
+
+    start_done = (
+        "  %ags = (f32[2,8], f32[16,8]) all-gather-start(f32[2,8] %p), "
+        "dimensions={0}\n"
+        "  %agd = f32[16,8] all-gather-done((f32[2,8], f32[16,8]) %ags)\n")
+    # start counts its full tuple (operand alias included — errs high,
+    # never low); done adds nothing
+    assert collective_bytes(start_done) == (2 * 8 + 16 * 8) * 4
+
+    none = "  %f = f32[128,128] fusion(f32[128,128] %p), kind=kLoop\n"
+    assert collective_bytes(none) == 0
