@@ -43,7 +43,7 @@ assert float(x[0, 0]) == float(d)
 """
 
 
-def wait_healthy(max_wait_s=1500, probe_timeout_s=90):
+def wait_healthy(max_wait_s=1500, probe_timeout_s=150):
     """Block until the device answers a tiny matmul, or max_wait_s.
 
     The tunneled test TPU wedges intermittently (ops hang indefinitely,
@@ -51,7 +51,9 @@ def wait_healthy(max_wait_s=1500, probe_timeout_s=90):
     a wedged window would hang forever instead of recording a number.
     The probe runs in a SUBPROCESS because a hung device op cannot be
     cancelled in-process.  On a healthy device (or CPU) the first probe
-    passes in seconds.
+    passes in seconds; the timeout budgets a fresh small compile per
+    attempt (the probe shape is randomized, so it never hits the
+    persistent cache — same 150 s budget as tools/tpu_hunt.sh).
     """
     deadline = time.time() + max_wait_s
     while True:
