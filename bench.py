@@ -30,16 +30,20 @@ import time
 
 V100_TRIPLES_PER_S = 24000 * 1000 / 167.1  # reference 1-GPU FB15k anchor
 
-# The probe matmul uses a FRESH random dim each attempt: the execution
+# The probe matmul uses FRESH random dims each attempt: the execution
 # path and the remote compile service wedge independently, and a fixed
 # shape hits the persistent compile cache — it would pass while compiles
 # hang (the tools/tpu_hunt.sh lesson, commit-documented in CLAUDE.md).
+# TWO random dims give ~10^6 distinct shapes (compile keys on both), so
+# cache collisions across a long hunt with a persistent cache stay
+# negligible, while the matmul itself stays <1 ms / <1 s to compile.
 _PROBE = """
 import random
 import jax, jax.numpy as jnp
-d = 257 + random.randrange(1000)
-x = jnp.ones((d, d)) @ jnp.ones((d, d))
-assert float(x[0, 0]) == float(d)
+d1 = 257 + random.randrange(1000)
+d2 = 129 + random.randrange(1000)
+x = jnp.ones((d1, d2)) @ jnp.ones((d2, d1))
+assert float(x[0, 0]) == float(d2)
 """
 
 
@@ -52,8 +56,9 @@ def wait_healthy(max_wait_s=1500, probe_timeout_s=150):
     The probe runs in a SUBPROCESS because a hung device op cannot be
     cancelled in-process.  On a healthy device (or CPU) the first probe
     passes in seconds; the timeout budgets a fresh small compile per
-    attempt (the probe shape is randomized, so it never hits the
-    persistent cache — same 150 s budget as tools/tpu_hunt.sh).
+    attempt (the probe shape is drawn from ~10^6 possibilities, so a
+    persistent-cache hit is negligible — same 150 s budget as
+    tools/tpu_hunt.sh).
     """
     deadline = time.time() + max_wait_s
     while True:

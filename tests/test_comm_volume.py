@@ -70,3 +70,19 @@ def test_collective_bytes_counting_rule():
 
     none = "  %f = f32[128,128] fusion(f32[128,128] %p), kind=kLoop\n"
     assert collective_bytes(none) == 0
+
+    # consumer lines that merely REFERENCE a collective-named operand
+    # must not count: only instruction definitions move bytes
+    consumers = (
+        "  %fusion.3 = f32[64,32] fusion(f32[64,32] %all-gather.33, "
+        "f32[64,32] %p), kind=kLoop\n"
+        "  %gte.1 = f32[8,64] get-tuple-element((f32[8,64], f32[8,64]) "
+        "%all-reduce.40), index=0\n"
+        "  %copy.2 = f32[4,4] copy(f32[4,4] %reduce-scatter.7)\n")
+    assert collective_bytes(consumers) == 0
+
+    # ...and a real definition amid consumers counts exactly once
+    mixed = consumers + (
+        "  %all-reduce.40 = f32[8,64] all-reduce(f32[8,64] %p), "
+        "to_apply=%add\n")
+    assert collective_bytes(mixed) == 8 * 64 * 4

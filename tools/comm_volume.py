@@ -45,14 +45,19 @@ from dglke_tpu.models.ke_model import KEModel  # noqa: E402
 from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh  # noqa: E402
 from dglke_tpu.trainer import DevicePipeline  # noqa: E402
 
-# One instruction line: everything between `=` and the op name is the
-# result shape (possibly a tuple).  `-start` matches the async forms
-# (all-gather-start etc.); `-done` lines deliberately do NOT match (the
-# start already carries the shapes — counting both would double-count).
+# One instruction DEFINITION line: `%name = <result shape> opcode(...)`.
+# Anchoring to the line start (name, `=`, shape, opcode immediately
+# followed by `(`) is load-bearing: consumer lines that merely reference
+# a collective-named operand (`fusion(%all-gather.33, ...)`,
+# `get-tuple-element(%all-reduce.40), index=0`) must NOT count — the
+# `.N` name suffix fails the required `(`, so only definitions match.
+# `-start` matches the async forms; `-done` lines deliberately do NOT
+# match (the start already carries the shapes — counting both would
+# double-count).
 _COLLECTIVE = re.compile(
-    r"=\s+([^=]*?)\s*"
+    r"^\s*(?:ROOT\s+)?%?[\w.\-]+ = ([^=]*?)\s*"
     r"(all-gather|all-reduce|collective-permute|all-to-all|reduce-scatter)"
-    r"(-start)?[.\s(]")
+    r"(-start)?\(", re.M)
 _SHAPE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
 _BYTES = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
           "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
