@@ -74,34 +74,44 @@ def main(argv=None):
         print("NOTE: --table_sharding vocab has no effect on one device")
     from dglke_tpu.utils.io import has_sharded
     if has_sharded(args.model_path):
-        # sharded (orbax) checkpoint from --sharded_ckpt: the saved shapes
-        # depend on how training sharded the tables (vocab sharding mesh-
-        # pads the entity rows) — try the replicated layout first, then
-        # the vocab-sharded one.
+        # Sharded (orbax) checkpoint from --sharded_ckpt.  Its global
+        # shapes are fixed by the layout recorded at SAVE time
+        # (cli/train.py writes ckpt_table_sharding / ckpt_mesh_size into
+        # config.json): vocab-sharded training pads the entity rows to a
+        # multiple of the training mesh.  Reproduce that exact padded
+        # shape in the restore template — deterministic, no
+        # exception-driven layout probing.  Checkpoints predating the
+        # metadata restore as replicated (the pre-metadata default).
+        import json as _json
+        import jax.numpy as jnp
         from dglke_tpu.utils.io import load_sharded
+        meta = {}
+        if os.path.exists(conf):
+            with open(conf) as f:
+                meta = _json.load(f)
+        saved_vocab = meta.get("ckpt_table_sharding") == "vocab"
+        saved_mesh = int(meta.get("ckpt_mesh_size", 1))
         template = model.init_state(jax.random.PRNGKey(cfg.seed))
-        if want_vocab:
+        pad = ((-dataset.n_entities) % saved_mesh) if saved_vocab else 0
+        if pad:
+            ent = template.entity
+            ent = ent._replace(
+                emb=jnp.pad(ent.emb, ((0, pad), (0, 0))),
+                state_sum=jnp.pad(ent.state_sum, ((0, pad),)))
+            template = template._replace(entity=ent)
+        saved_rows = template.entity.emb.shape[0]
+        if want_vocab and saved_rows % n_dev == 0:
+            # the eval mesh divides the saved (padded) rows: restore
+            # straight into the vocab-sharded eval layout (put_state on
+            # the already-padded template adds no further padding)
             state = load_sharded(vocab_plan().put_state(template),
                                  args.model_path)
         else:
-            try:
-                state = load_sharded(template, args.model_path)
-            except Exception as e:  # noqa: BLE001 — layout probe, see below
-                # A checkpoint written from vocab-sharded training stores
-                # mesh-PADDED entity rows, and orbax's layout-mismatch
-                # error class/wording varies across versions — so retry
-                # the one other layout we could have written rather than
-                # pattern-match the message.  A real restore error
-                # (corrupt ckpt, dtype mismatch) fails BOTH attempts and
-                # the original error surfaces as itself.
-                if n_dev <= 1:
-                    raise
-                try:
-                    state = load_sharded(vocab_plan().put_state(template),
-                                         args.model_path)
-                except Exception:
-                    plan = None
-                    raise e
+            state = load_sharded(template, args.model_path)
+            if want_vocab:
+                # indivisible saved rows: restore replicated, then
+                # re-shard (put_state pads further as needed)
+                state = vocab_plan().put_state(state)
     else:
         state = load_model_state(cfg, model, args.model_path)
         if want_vocab:

@@ -147,6 +147,16 @@ def main(argv=None):
         ]
     cfg = dataclasses.replace(cfg, valid=args.valid)
 
+    # Layout metadata for sharded (orbax) checkpoints: their global shapes
+    # depend on how training sharded the tables (vocab sharding mesh-pads
+    # the entity rows), so the effective layout is recorded in config.json
+    # and eval/resume restore deterministically — no layout probing.
+    ckpt_meta = {
+        "ckpt_table_sharding": plan.table_sharding if plan is not None
+        else "replicated",
+        "ckpt_mesh_size": plan.n if plan is not None else 1,
+    }
+
     save_fn = None
     if cfg.save_interval > 0 and not cfg.no_save_emb:
         if jax.process_count() > 1 and not args.sharded_ckpt:
@@ -163,7 +173,7 @@ def main(argv=None):
                 save_sharded(st, cfg.save_path)
                 if jax.process_index() == 0:
                     cfg.save(cfg.save_path, dataset.emap_fname,
-                             dataset.rmap_fname)
+                             dataset.rmap_fname, **ckpt_meta)
             else:
                 save_model(cfg, model, st, emap_file=dataset.emap_fname,
                            rmap_file=dataset.rmap_fname)
@@ -184,7 +194,7 @@ def main(argv=None):
             save_sharded(state, cfg.save_path)
             if jax.process_index() == 0:
                 cfg.save(cfg.save_path, dataset.emap_fname,
-                         dataset.rmap_fname)
+                         dataset.rmap_fname, **ckpt_meta)
         elif jax.process_count() > 1:
             # Gather the sharded tables so rank 0 can persist them (the
             # reference's machine-0 100-slice pull, train_pytorch.py:282-335,

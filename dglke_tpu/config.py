@@ -181,10 +181,18 @@ class KGEConfig:
         d.update({"emp_file": emap_file, "rmap_file": rmap_file})
         return d
 
-    def save(self, path: str, emap_file=None, rmap_file=None) -> None:
+    def save(self, path: str, emap_file=None, rmap_file=None,
+             **extras) -> None:
+        """Write config.json.  `extras` are additional checkpoint metadata
+        keys (e.g. ckpt_table_sharding / ckpt_mesh_size for sharded orbax
+        artifacts, whose global shapes depend on the training mesh); they
+        ride in the json but are not KGEConfig fields — `load` ignores
+        them, readers use `utils.io.load_config_json`."""
         os.makedirs(path, exist_ok=True)
+        d = self.to_json_dict(emap_file, rmap_file)
+        d.update(extras)
         with open(os.path.join(path, "config.json"), "w") as f:
-            json.dump(self.to_json_dict(emap_file, rmap_file), f, indent=4)
+            json.dump(d, f, indent=4)
 
     @classmethod
     def load(cls, config_file: str) -> "KGEConfig":

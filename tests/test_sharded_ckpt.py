@@ -96,9 +96,16 @@ def test_cli_periodic_save_interval(tmp_path):
     assert int(np.load(os.path.join(ckpt, "pkg_TransE_l2_step.npy"))) == 100
 
 
-def test_cli_eval_loads_sharded(tmp_path):
-    """dglke_tpu-eval reads sharded checkpoints, both replicated and
-    vocab-sharded table layouts."""
+def test_cli_eval_loads_sharded(tmp_path, capsys):
+    """dglke_tpu-eval restores sharded checkpoints DETERMINISTICALLY from
+    the layout metadata recorded at save time (ckpt_table_sharding /
+    ckpt_mesh_size in config.json) — every save-layout x eval-layout
+    combination, including the mesh-PADDED entity rows of a vocab-sharded
+    save (43 entities on an 8-device mesh pad to 48), and all four
+    combinations agree on the metrics."""
+    import json
+    import re
+
     from dglke_tpu.cli.train import main as train_main
     from dglke_tpu.cli.eval import main as eval_main
     d = str(tmp_path / "data")
@@ -107,8 +114,12 @@ def test_cli_eval_loads_sharded(tmp_path):
     for name, n in (("train.txt", 600), ("valid.txt", 60), ("test.txt", 60)):
         with open(os.path.join(d, name), "w") as f:
             for _ in range(n):
-                f.write(f"e{rng.randint(40)}\tr{rng.randint(4)}"
-                        f"\te{rng.randint(40)}\n")
+                # 43 entities: NOT a multiple of the 8-device mesh, so the
+                # vocab-sharded save stores padded (48-row) tables
+                f.write(f"e{rng.randint(43)}\tr{rng.randint(4)}"
+                        f"\te{rng.randint(43)}\n")
+    n_dev = len(jax.devices())
+    mrrs = {}
     for sharding in ("replicated", "vocab"):
         save_root = str(tmp_path / f"ckpts_{sharding}")
         common = ["--model_name", "TransE_l2", "--dataset", "skg",
@@ -122,6 +133,26 @@ def test_cli_eval_loads_sharded(tmp_path):
                                   "--save_path", save_root])
         assert rc == 0
         ckpt = os.path.join(save_root, "TransE_l2_skg_0")
-        rc = eval_main(common + ["--model_path", ckpt,
-                                 "--batch_size_eval", "8"])
-        assert rc == 0
+        with open(os.path.join(ckpt, "config.json")) as f:
+            meta = json.load(f)
+        assert meta["ckpt_table_sharding"] == (
+            sharding if n_dev > 1 else "replicated")
+        assert meta["ckpt_mesh_size"] == (n_dev if n_dev > 1 else 1)
+        for eval_sharding in ("replicated", "vocab"):
+            capsys.readouterr()
+            rc = eval_main(common + ["--model_path", ckpt,
+                                     "--batch_size_eval", "8",
+                                     "--table_sharding", eval_sharding])
+            assert rc == 0
+            out = capsys.readouterr().out
+            m = re.search(r"Test average MRR: (\d+\.\d+)", out)
+            assert m, out
+            mrrs[(sharding, eval_sharding)] = float(m.group(1))
+    assert all(0.0 < v <= 1.0 for v in mrrs.values()), mrrs
+    # the same trained tables must rank identically however they are laid
+    # out at eval time (the two SAVES are different training runs —
+    # replicated vs vocab-sharded training may differ by reduction order —
+    # so only same-checkpoint pairs are compared)
+    for s in ("replicated", "vocab"):
+        assert abs(mrrs[(s, "replicated")]
+                   - mrrs[(s, "vocab")]) < 1e-6, mrrs
