@@ -440,6 +440,37 @@ def synthetic_dataset(n_entities: int = 1000, n_relations: int = 20,
                      valid=sample(n_valid), test=sample(n_test))
 
 
+def planted_line_big(n_clusters: int, per: int = 4, n_relations: int = 1,
+                     seed: int = 0, n_test: int = 2000) -> KGDataset:
+    """Vectorized Freebase-scale variant of planted_dataset("line"):
+    identical structure (r_k maps cluster i -> i+k+1, complete bipartite
+    between cluster pairs, no wraparound) built with numpy broadcasting so
+    tens of millions of edges construct in seconds, and a FIXED-size test
+    split (full-entity eval at 10M+ entities costs ~seconds per thousand
+    edges; a fractional split would be millions).  Train arrays are int32
+    to halve host/HBM footprint at this scale."""
+    rng = np.random.RandomState(seed)
+    ks = np.concatenate([np.full(n_clusters - k - 1, k, np.int32)
+                         for k in range(n_relations)])
+    iis = np.concatenate([np.arange(n_clusters - k - 1, dtype=np.int32)
+                          for k in range(n_relations)])
+    a = np.arange(per, dtype=np.int32)
+    shape = (len(ks), per, per)
+    h = np.broadcast_to((iis[:, None, None] * per
+                         + a[None, :, None]), shape).reshape(-1)
+    t = np.broadcast_to(((iis + ks + 1)[:, None, None] * per
+                         + a[None, None, :]), shape).reshape(-1)
+    r = np.broadcast_to(ks[:, None, None], shape).reshape(-1)
+    idx = rng.permutation(len(h))
+    h, r, t = h[idx].copy(), r[idx].copy(), t[idx].copy()
+    n_test = min(n_test, len(h) // 10)
+    return KGDataset(name="planted_line_big",
+                     n_entities=n_clusters * per,
+                     n_relations=n_relations,
+                     train=(h[n_test:], r[n_test:], t[n_test:]),
+                     test=(h[:n_test], r[:n_test], t[:n_test]))
+
+
 def planted_dataset(structure: str, n_clusters: int = 10, per: int = 6,
                     n_relations: int = 3, seed: int = 0,
                     test_frac: float = 0.15) -> KGDataset:

@@ -481,6 +481,129 @@ class KEModel:
         return jax.jit(call, static_argnames=("refresh_next",),
                        donate_argnums=(0, 4) if donate else ())  # state, nxt
 
+    def make_device_pipeline_step_multihost(
+            self, n_edges: int, batch_size: int, neg_total: int,
+            steps_per_call: int, plan, nproc: int, local: int,
+            key_impl=None, with_impts: bool = False, donate: bool = True):
+        """Multi-host fully device-resident pipeline (the P5 hot loop).
+
+        The reference's parameter-server design trains with no per-step
+        host coordination beyond row pull/push (kvclient.py:140-156,
+        train_pytorch.py:268-403); the single-host device pipeline above
+        keeps even that off the host.  This variant extends the
+        zero-per-step-host-transfer property to `jax.process_count() > 1`:
+
+          * edge plane [ndev, 3, E] int32, sharded (dp, None, None) —
+            every device of host p holds a COPY of p's edge partition
+            (cycle-padded by DevicePipeline to the pod-max length E so
+            all hosts share one epoch clock), so batch-row gathers are
+            device-LOCAL, never collective;
+          * per-HOST epoch permutations cur/nxt [ndev, E], sharded
+            (dp, None): all devices of a host derive the identical row
+            from fold_in(base_key, epoch * nproc + host), generated on
+            device;
+          * device d (local rank d % local) takes columns
+            [pos + step*b + (d%local)*bl, +bl) of its host's permutation
+            — the global batch is host 0's b rows, then host 1's, ...,
+            exactly the layout ShardingPlan.put_batch assembles on the
+            un-fused path, but composed entirely on device;
+          * negatives ride one replicated key: randint([nproc*neg_total])
+            dp-constrained, the same chunk-aligned split as the
+            single-host multi-device path.
+
+        The per-call host work is the same int32 scalar upload as the
+        single-host pipeline; nothing batch-sized ever crosses a host
+        link.  base_key arrives as raw key DATA (numpy) because a typed
+        process-local key cannot enter a global-mesh jit; it is re-wrapped
+        here (impl recorded at pipeline construction).
+        """
+        assert steps_per_call % 2 == 0
+        from jax.sharding import NamedSharding, PartitionSpec
+        ndev = plan.mesh.devices.size
+        assert ndev == nproc * local, (ndev, nproc, local)
+        b = batch_size
+        assert b % local == 0, (
+            f"batch_size {b} must divide over {local} local devices")
+        bl = b // local
+        s = steps_per_call
+        neg_g = nproc * neg_total
+        use_async = self.config.async_update
+        dp_rows = NamedSharding(plan.mesh, PartitionSpec(plan.axis, None))
+        dp = NamedSharding(plan.mesh, PartitionSpec(plan.axis))
+        cst = jax.lax.with_sharding_constraint
+
+        def call(state, plane, impts_e, cur, nxt, pos, epoch, call_idx,
+                 key_data, refresh_next):
+            base_key = jax.random.wrap_key_data(key_data, impl=key_impl)
+            host = jnp.arange(ndev, dtype=jnp.int32) // local
+            lr = jnp.arange(ndev, dtype=jnp.int32) % local
+            if refresh_next:
+                ekeys = jax.vmap(
+                    lambda hh: jax.random.fold_in(
+                        base_key, (epoch + 1) * nproc + hh))(host)
+                nxt = cst(jax.vmap(
+                    lambda k: jax.random.permutation(k, n_edges)
+                )(ekeys).astype(jnp.int32), dp_rows)
+            key = jax.random.fold_in(base_key, call_idx)
+            both = jnp.concatenate([cur, nxt], axis=1)      # [ndev, 2E]
+            # per-device permutation columns: straddling positions read
+            # into the next epoch's plane, exactly like the single-host
+            # pipeline
+            cols = (pos
+                    + jnp.arange(s, dtype=jnp.int32)[None, :, None] * b
+                    + lr[:, None, None] * bl
+                    + jnp.arange(bl, dtype=jnp.int32)[None, None, :])
+            idx = jnp.take_along_axis(both, cols.reshape(ndev, s * bl),
+                                      axis=1)               # local gather
+            idx = cst(idx, dp_rows).reshape(ndev, s, bl)
+            idx = jnp.moveaxis(idx, 1, 0).reshape(s // 2, 2, ndev, bl)
+            keys = jax.random.split(key, (s // 2, 2))
+
+            def gather_batch(idx_step):  # [ndev, bl] -> global [nproc*b]
+                cols3 = []
+                for c in range(3):
+                    x = jnp.take_along_axis(plane[:, c, :], idx_step,
+                                            axis=1)
+                    cols3.append(cst(cst(x, dp_rows).reshape(ndev * bl),
+                                     dp))
+                imp = None
+                if with_impts:
+                    imp = jnp.take_along_axis(impts_e, idx_step, axis=1)
+                    imp = cst(cst(imp, dp_rows).reshape(ndev * bl), dp)
+                return cols3[0], cols3[1], cols3[2], imp
+
+            def one(st, pend, idx_step, k, neg_head):
+                h, r, t, imp = gather_batch(idx_step)
+                neg = jax.random.randint(k, (neg_g,), 0, self.n_entities,
+                                         dtype=jnp.int32)
+                neg = cst(neg, dp)
+                if use_async:
+                    return self.train_step_async(st, pend, h, r, t, neg,
+                                                 imp, neg_head=neg_head)
+                st, log = self.train_step(st, h, r, t, neg, imp,
+                                          neg_head=neg_head)
+                return st, pend, log
+
+            def body(carry, xs):
+                st, pend = carry
+                idx_pair, key_pair = xs
+                st, pend, log1 = one(st, pend, idx_pair[0], key_pair[0],
+                                     True)
+                st, pend, log2 = one(st, pend, idx_pair[1], key_pair[1],
+                                     False)
+                return (st, pend), {k: (log1[k] + log2[k]) / 2.0
+                                    for k in log1}
+
+            pending0 = self._zero_pending(nproc * b, neg_g)
+            (state, pending), logs = jax.lax.scan(body, (state, pending0),
+                                                  (idx, keys))
+            if use_async:
+                state = self.flush_async(state, pending)
+            return (state, nxt), {k: jnp.mean(v) for k, v in logs.items()}
+
+        return jax.jit(call, static_argnames=("refresh_next",),
+                       donate_argnums=(0, 4) if donate else ())  # state, nxt
+
     # -- evaluation ----------------------------------------------------------
 
     def eval_ranks(self, state: TrainState, h, r, t, filter_ids, filter_mask,

@@ -145,17 +145,28 @@ def train(config: KGEConfig, dataset: KGDataset,
     sampler = TrainSampler(dataset, cfg.batch_size, cfg.neg_sample_size,
                            seed=cfg.seed + jax.process_index())
     packed_mode = plan is None
-    # Single-host multi-device: keep the loop fully device-resident too —
-    # the sharded tables stay put and batches are sampled on device, split
-    # over the dp axis inside the jitted call.  A host feed would cap a
-    # multi-chip mesh at transfer latency.
-    device_pipe_mode = (plan is not None and jax.process_count() == 1
-                        and dataset.n_train >= 2 * cfg.batch_size)
+    # Multi-device (single- OR multi-host): keep the loop fully
+    # device-resident — the sharded tables stay put and batches are
+    # sampled on device, split over the dp axis inside the jitted call.
+    # A host feed would cap a multi-chip mesh at transfer latency; under
+    # --dist it would reintroduce the per-step host dispatch the
+    # reference's parameter-server design also avoids
+    # (kvclient.py:140-156).  The gate (and the fused call size below)
+    # must be HOST-INVARIANT: partitions differ per host, so agree on the
+    # pod-min partition size.
+    n_train_gate = dataset.n_train
+    if plan is not None and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        n_train_gate = int(np.min(np.asarray(
+            multihost_utils.process_allgather(
+                np.asarray(dataset.n_train, np.int64)))))
+    device_pipe_mode = (plan is not None
+                        and n_train_gate >= 2 * cfg.batch_size)
     # In scanned modes, fuse steps_per_call steps into one device call;
     # align the fusion with logging/eval cadence.
     s = cfg.steps_per_call if (packed_mode or device_pipe_mode) else 1
     if device_pipe_mode:
-        while s > 2 and s * cfg.batch_size > dataset.n_train:
+        while s > 2 and s * cfg.batch_size > n_train_gate:
             s -= 2
     if s > 1:
         for interval in (cfg.log_interval,
@@ -187,6 +198,9 @@ def train(config: KGEConfig, dataset: KGDataset,
         pipe = DevicePipeline(model, dataset, cfg.batch_size,
                               sampler.num_chunks * sampler.neg_sample_size,
                               s, seed=cfg.seed, plan=plan)
+        log(f"[proc 0]device-resident pipeline: {s} steps/call, "
+            f"{jax.process_count()} process(es) x "
+            f"{jax.local_device_count()} device(s)")
         feeder = step_fn = prefetch = None
     elif packed_mode and s > 1:
         feeder = None
@@ -419,7 +433,16 @@ class DevicePipeline:
     """Fully device-resident training feed: triples + epoch permutation live
     in HBM; each call samples on device (see make_device_pipeline_step).
     The host only tracks an integer offset and refreshes the permutation
-    (computed ON DEVICE) between epochs."""
+    (computed ON DEVICE) between epochs.
+
+    Multi-host (`jax.process_count() > 1`): each host contributes its OWN
+    edge partition into a [ndev, 3, E_max] plane (every device of host p
+    holds a copy of p's partition, cycle-padded to the pod-max length so
+    all hosts share one epoch clock), and the scanned step assembles the
+    global batch on device — the --dist hot loop keeps the same
+    zero-per-step-host-transfer property as single-host (see
+    make_device_pipeline_step_multihost; reference contract:
+    kvclient.py:140-156, no per-step host coordination)."""
 
     def __init__(self, model: KEModel, dataset, batch_size: int,
                  neg_total: int, steps_per_call: int, seed: int = 0,
@@ -432,6 +455,13 @@ class DevicePipeline:
         impts = (np.asarray(dataset.train[3], np.float32)
                  if getattr(dataset, "has_edge_importance", False)
                  and len(dataset.train) > 3 else None)
+        self._fence = ([] if (jax.default_backend() == "cpu"
+                              and jax.process_count() > 1) else None)
+        self._multihost = plan is not None and jax.process_count() > 1
+        if self._multihost:
+            self._init_multihost(model, triples, impts, batch_size,
+                                 neg_total, steps_per_call, seed, plan)
+            return
         if plan is not None:
             # replicate the edge list over the mesh; batches are split onto
             # the dp axis inside the jitted call (with_sharding_constraint)
@@ -481,6 +511,101 @@ class DevicePipeline:
         self.epoch = 0
         self.call_idx = 0
 
+    def _init_multihost(self, model, triples, impts, batch_size,
+                        neg_total, steps_per_call, seed, plan):
+        """Build the [ndev, 3, E_max] per-host edge plane + per-host epoch
+        permutations (see class docstring).  Collective: every process
+        must construct the pipeline (allgather of partition sizes +
+        make_array_from_process_local_data)."""
+        from jax.experimental import multihost_utils
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        nproc = jax.process_count()
+        local = jax.local_device_count()
+        ndev = plan.mesh.devices.size
+        sizes = np.asarray(multihost_utils.process_allgather(
+            np.asarray(triples.shape[1], np.int64)))
+        n_edges = int(sizes.max())
+        if triples.shape[1] < n_edges:
+            # cycle-pad shorter partitions to the pod max: every host
+            # shares one epoch length (the pos/epoch scalars are global),
+            # at the cost of re-sampling a few edges on underfull hosts —
+            # partition_for_host strides differ by <=1 edge, and LDG
+            # partitions are balance-constrained, so the repetition is
+            # negligible in practice
+            reps = -(-n_edges // triples.shape[1])
+            triples = np.tile(triples, (1, reps))[:, :n_edges]
+            if impts is not None:
+                impts = np.tile(impts, reps)[:n_edges]
+        sh_plane = NamedSharding(plan.mesh,
+                                 PartitionSpec(plan.axis, None, None))
+        sh_rows = NamedSharding(plan.mesh, PartitionSpec(plan.axis, None))
+        local_plane = np.ascontiguousarray(
+            np.broadcast_to(triples[None], (local, 3, n_edges)))
+        self.triples = jax.make_array_from_process_local_data(
+            sh_plane, local_plane, (ndev, 3, n_edges))
+        if impts is not None:
+            li = np.ascontiguousarray(
+                np.broadcast_to(impts[None], (local, n_edges)))
+            self.impts = jax.make_array_from_process_local_data(
+                sh_rows, li, (ndev, n_edges))
+        else:
+            self.impts = None
+        self._rep = None
+        self.n_edges = n_edges
+        self.b = batch_size
+        self.s = steps_per_call
+        assert n_edges >= self.s * self.b, (
+            "device pipeline needs every host's (padded) partition >= "
+            "steps_per_call * batch_size; lower steps_per_call")
+        try:
+            key = jax.random.key(seed, impl="rbg")
+            impl = "rbg"
+        except Exception:
+            key = jax.random.key(seed)
+            impl = None
+        # raw key DATA: a typed process-local key cannot enter a
+        # global-mesh jit; the step fn re-wraps it (same impl)
+        self.base_key = np.asarray(jax.random.key_data(key))
+        self.step_fn = model.make_device_pipeline_step_multihost(
+            n_edges, batch_size, neg_total, steps_per_call, plan,
+            nproc, local, key_impl=impl, with_impts=self.impts is not None)
+
+        def _gen(kd, e):
+            base = jax.random.wrap_key_data(kd, impl=impl)
+            host = jnp.arange(ndev, dtype=jnp.int32) // local
+            keys = jax.vmap(
+                lambda hh: jax.random.fold_in(base, e * nproc + hh))(host)
+            return jax.vmap(
+                lambda k: jax.random.permutation(k, n_edges)
+            )(keys).astype(jnp.int32)
+
+        # same per-host key schedule as the in-call refresh
+        # (epoch * nproc + host), so epoch 1+ regeneration is consistent
+        gen = jax.jit(_gen, static_argnums=(1,), out_shardings=sh_rows)
+        self.cur = gen(self.base_key, 0)
+        self.nxt = gen(self.base_key, 1)
+        self.pos = 0
+        self.epoch = 0
+        self.call_idx = 0
+
+    # XLA:CPU's cross-process collective rendezvous DEADLOCKS when too
+    # many collective-bearing executions are queued without a host sync
+    # (measured: ~100 in-flight calls wedge a 2-process Gloo run; 10 are
+    # fine) — each in-flight execution pins a thread at a rendezvous and
+    # the peer's matching execution is stuck behind its own queue.  Cap
+    # the dispatch depth on the CPU backend only; TPU hardware queues
+    # don't have this failure mode and deep pipelining is where the
+    # throughput comes from.
+    _CPU_FENCE_DEPTH = 8
+
+    def _maybe_fence(self, logs):
+        if self._fence is None:
+            return
+        self._fence.append(logs)
+        if len(self._fence) > self._CPU_FENCE_DEPTH:
+            jax.block_until_ready(self._fence.pop(0))
+
     def run_call(self, state):
         # >= : at an exact boundary nothing straddles, but nxt must still be
         # regenerated before the rotation below swaps it in as cur
@@ -490,6 +615,7 @@ class DevicePipeline:
             np.int32(self.pos), np.int32(self.epoch),
             np.int32(self.call_idx), self.base_key,
             refresh_next=refresh)
+        self._maybe_fence(logs)
         self.pos += self.s * self.b
         if self.pos >= self.n_edges:
             # the straddling call regenerated nxt (epoch+1); rotate it in

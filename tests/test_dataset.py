@@ -205,3 +205,27 @@ def test_builtin_offline_clear_error(tmp_path, monkeypatch):
     monkeypatch.setattr(urllib.request, "urlopen", no_net)
     with pytest.raises(FileNotFoundError, match="no network egress"):
         get_dataset(str(tmp_path / "data"), "FB15k", "built_in")
+
+
+def test_planted_line_big_matches_loop_generator():
+    """The vectorized Freebase-scale generator builds the SAME edge set
+    as planted_dataset('line') (so its MRR gates stay comparable), with
+    int32 arrays and a fixed-size test split."""
+    from dglke_tpu.data.dataset import planted_dataset, planted_line_big
+
+    big = planted_line_big(n_clusters=10, per=6, n_relations=3, n_test=50)
+    loop = planted_dataset("line", n_clusters=10, per=6, n_relations=3)
+
+    def canon(ds):
+        out = set()
+        for part in (ds.train, ds.test):
+            if part is None:
+                continue
+            out |= set(zip(part[0].tolist(), part[1].tolist(),
+                           part[2].tolist()))
+        return out
+
+    assert canon(big) == canon(loop)
+    assert big.train[0].dtype == np.int32
+    assert len(big.test[0]) == 50
+    assert big.n_entities == 60 and big.n_relations == 3

@@ -44,9 +44,15 @@ cfg = KGEConfig(model_name="TransE_l2", hidden_dim=16, gamma=6.0, lr=0.25,
                 log_interval=10, dataset="synthetic", seed=11)
 plan = ShardingPlan(make_mesh(4), table_sharding="vocab")
 model = KEModel(cfg, ds.n_entities, ds.n_relations)
+lines = []
 model, state, _ = train(cfg, ds, model=model, plan=plan,
-                        log=lambda *a: None)
+                        log=lambda *a: lines.append(" ".join(map(str, a))))
 assert int(state.step) == 30
+# the --dist hot loop must run the fused device-resident pipeline
+# (per-step host-fed dispatch would reintroduce the per-call latency
+# the single-chip design eliminated); trainer logs ride rank 0 only
+if rank == 0:
+    assert any("device-resident pipeline" in ln for ln in lines), lines[:5]
 
 # multi-host eval over the vocab-sharded table: batches are host-identical
 # (unstrided — _global_eval), parallelism comes from the table axis inside
@@ -131,6 +137,57 @@ print(f"rank {rank} {phase} OK")
 """
 
 
+# Quality gate for the fused multi-host pipeline: a planted-structure KG
+# (provably representable by TransE) partitioned across 2 hosts must still
+# reach the calibrated single-process MRR gate — the fused device-resident
+# --dist path has to LEARN equivalently, not merely run.
+_QUALITY_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+rank = int(sys.argv[1]); port = sys.argv[2]
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=rank,
+                           cluster_detection_method="deactivate")
+import numpy as np
+from dglke_tpu.config import KGEConfig
+from dglke_tpu.data.dataset import KGDataset, planted_dataset
+from dglke_tpu.models.ke_model import KEModel
+from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
+from dglke_tpu.trainer import evaluate, train
+
+full = planted_dataset("line", n_clusters=10)
+h, r, t = full.train
+part = slice(rank, None, 2)
+ds = KGDataset(name="planted", n_entities=full.n_entities,
+               n_relations=full.n_relations,
+               train=(h[part], r[part], t[part]), test=full.test)
+# log_interval fences the dispatch queue every 200 steps: XLA:CPU's
+# collective rendezvous wedges when ~1000 collective-bearing calls are
+# queued with no host sync (TPU hardware queues don't have this issue)
+cfg = KGEConfig(model_name="TransE_l2", hidden_dim=32, gamma=4.0, lr=0.25,
+                batch_size=128, neg_sample_size=32, max_step=2000,
+                log_interval=200, batch_size_eval=16,
+                neg_adversarial_sampling=True, regularization_coef=1e-9,
+                dataset="planted", seed=7)
+plan = ShardingPlan(make_mesh(4), table_sharding="vocab")
+model = KEModel(cfg, ds.n_entities, ds.n_relations)
+lines = []
+model, state, _ = train(cfg, ds, model=model, plan=plan,
+                        log=lambda *a: lines.append(" ".join(map(str, a))))
+if rank == 0:
+    assert any("device-resident pipeline" in ln for ln in lines), lines[:5]
+# filtered eval needs the FULL dataset's filter (identical on every rank
+# under _global_eval)
+metrics = evaluate(cfg, full, model, state, "test", log=lambda *a: None,
+                   plan=plan)
+assert metrics["MRR"] >= 0.85, metrics
+print(f"rank {rank} quality OK MRR {metrics['MRR']:.4f}")
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -177,6 +234,8 @@ def test_dist_cli_train_then_eval(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"train rank {rank} failed:\n{out}"
         assert f"rank {rank} train OK" in out, out
+    # the CLI --dist hot loop runs the fused device-resident pipeline
+    assert "device-resident pipeline" in outs[0], outs[0]
     # each host trained on its own soft-relation partition of the 800 edges
     import re
     sizes = [int(re.search(r"\|Train\|: (\d+)", o).group(1)) for o in outs]
@@ -193,6 +252,22 @@ def test_dist_cli_train_then_eval(tmp_path):
     # both ranks computed (and agree on) the global aggregated MRR
     assert len(mrrs) == 2 and mrrs[0] == mrrs[1], mrrs
     assert 0.0 < float(mrrs[0]) <= 1.0
+
+
+def test_two_process_fused_pipeline_quality(tmp_path):
+    """The fused multi-host device pipeline must reach the calibrated
+    planted-structure quality gate (MRR >= 0.85) with each host feeding
+    its own edge partition — quality parity with the single-process path,
+    not just mechanical execution."""
+    worker = tmp_path / "quality_worker.py"
+    worker.write_text(_QUALITY_WORKER)
+    outs, procs = _run_pair(worker, tmp_path, [])
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"rank {rank} quality OK" in out, out
+    import re
+    mrrs = sorted(re.findall(r"MRR (\d+\.\d+)", outs[0] + outs[1]))
+    assert len(mrrs) == 2 and mrrs[0] == mrrs[1], mrrs
 
 
 def test_two_process_vocab_sharded_training(tmp_path):

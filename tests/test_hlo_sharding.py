@@ -204,6 +204,87 @@ def test_sharded_eval_megastep_matches_and_stays_batch_proportional(
             "batch-proportional data in the sharded eval megastep")
 
 
+_BYTES = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+          "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+          "pred": 1}
+
+
+def _collective_total_bytes(hlo: str) -> int:
+    return sum(int(np.prod(dims or [1])) * _BYTES.get(dtype, 4)
+               for _, dtype, dims in _collective_shapes(hlo))
+
+
+N_EDGES_MH = 2000
+
+
+@pytest.fixture(scope="module")
+def multihost_pipe_hlo():
+    """Compiled HLO of the FUSED MULTI-HOST device pipeline
+    (make_device_pipeline_step_multihost), lowered single-process on the
+    8-device mesh as nproc=4 x local=2 — the program is identical to what
+    4 real hosts would run; only the array-construction path differs.
+    Returns (hlo at per-host batch B, hlo at per-host batch 2B)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def lower(batch):
+        cfg = KGEConfig(model_name="TransE_l2", hidden_dim=32, gamma=6.0,
+                        lr=0.1, batch_size=batch, neg_sample_size=NEG,
+                        steps_per_call=4)
+        ds = synthetic_dataset(n_entities=N_ENT, n_relations=11,
+                               n_train=N_EDGES_MH)
+        plan = ShardingPlan(make_mesh(8), table_sharding="vocab")
+        model = KEModel(cfg, N_ENT, 11)
+        state = plan.put_state(model.init_state(jax.random.PRNGKey(0)))
+        fn = model.make_device_pipeline_step_multihost(
+            N_EDGES_MH, batch, cfg.num_chunks * NEG, 4, plan,
+            nproc=4, local=2, key_impl=None, donate=False)
+        sh_plane = NamedSharding(plan.mesh, P("dp", None, None))
+        sh_rows = NamedSharding(plan.mesh, P("dp", None))
+        trip = np.stack(ds.train[:3]).astype(np.int32)
+        plane = jax.device_put(
+            np.ascontiguousarray(
+                np.broadcast_to(trip[None], (8, 3, N_EDGES_MH))), sh_plane)
+        perm = jax.device_put(
+            np.tile(np.arange(N_EDGES_MH, dtype=np.int32)[None], (8, 1)),
+            sh_rows)
+        kd = np.asarray(jax.random.key_data(jax.random.key(0)))
+        return fn.lower(state, plane, None, perm, perm, jnp.int32(0),
+                        jnp.int32(0), jnp.int32(0), kd,
+                        refresh_next=False).compile().as_text()
+
+    return lower(BATCH), lower(2 * BATCH)
+
+
+def test_multihost_pipe_no_table_or_edge_plane_gather(multihost_pipe_hlo):
+    """The fused --dist hot loop keeps both contracts: the vocab-sharded
+    TABLE is never gathered, and the per-host EDGE PLANE gathers stay
+    device-local (an edge-plane collective would carry >= n_edges
+    elements)."""
+    hlo, _ = multihost_pipe_hlo
+    shapes = _collective_shapes(hlo)
+    assert shapes, "no collectives found — sharding silently dropped?"
+    for kind, dtype, dims in shapes:
+        n = np.prod(dims or [1])
+        assert n < (N_ENT // 2) * 32, (
+            f"{kind} of shape {dtype}{dims} moves table-scale data")
+        if dtype in ("s32", "u32"):
+            assert n < N_EDGES_MH, (
+                f"{kind} of shape {dtype}{dims} moves edge-plane-scale "
+                "ids — batch-row gathers are no longer device-local")
+
+
+def test_multihost_pipe_collectives_batch_proportional(multihost_pipe_hlo):
+    """Doubling the per-host batch ~doubles the fused program's
+    collective bytes (and never more) — the multi-host pipeline keeps the
+    comm-volume contract of tools/comm_volume.py."""
+    hlo1, hlo2 = multihost_pipe_hlo
+    b1, b2 = _collective_total_bytes(hlo1), _collective_total_bytes(hlo2)
+    assert b1 > 0
+    assert 1.2 * b1 <= b2 <= 2.4 * b1, (b1, b2)
+
+
 def test_sampled_eval_collectives_are_candidate_proportional():
     """--neg_sample_size_eval over a vocab-sharded table: the K candidate
     rows (not the table) cross the mesh."""
