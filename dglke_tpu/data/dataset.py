@@ -441,19 +441,36 @@ def synthetic_dataset(n_entities: int = 1000, n_relations: int = 20,
 
 
 def planted_line_big(n_clusters: int, per: int = 4, n_relations: int = 1,
-                     seed: int = 0, n_test: int = 2000) -> KGDataset:
+                     seed: int = 0, n_test: int = 2000,
+                     line_len: Optional[int] = None) -> KGDataset:
     """Vectorized Freebase-scale variant of planted_dataset("line"):
-    identical structure (r_k maps cluster i -> i+k+1, complete bipartite
-    between cluster pairs, no wraparound) built with numpy broadcasting so
-    tens of millions of edges construct in seconds, and a FIXED-size test
-    split (full-entity eval at 10M+ entities costs ~seconds per thousand
-    edges; a fractional split would be millions).  Train arrays are int32
-    to halve host/HBM footprint at this scale."""
+    r_k maps cluster i -> i+k+1 (complete bipartite between cluster
+    pairs, no wraparound), built with numpy broadcasting so tens of
+    millions of edges construct in seconds, and a FIXED-size test split
+    (full-entity eval at 10M+ entities costs ~seconds per thousand
+    edges; a fractional split would be millions).  Train arrays are
+    int32 to halve host/HBM footprint at this scale.
+
+    line_len: when set, clusters form n_clusters/line_len INDEPENDENT
+    lines of line_len (edges never cross a line boundary; the shared
+    relations act identically within every line).  This is the
+    SCALE-INVARIANT form: a single line of millions of clusters forces
+    TransE to stretch one chain of ~sqrt(C)·gamma extent from tiny-init
+    embeddings — measured unlearnable past a few hundred clusters
+    (MRR ~0.1 at C=4000) — while parallel short lines keep the geometry
+    as local as the calibrated toy gate at ANY entity count.  Default
+    (None) keeps the single-line behavior of planted_dataset("line")."""
     rng = np.random.RandomState(seed)
-    ks = np.concatenate([np.full(n_clusters - k - 1, k, np.int32)
-                         for k in range(n_relations)])
-    iis = np.concatenate([np.arange(n_clusters - k - 1, dtype=np.int32)
-                          for k in range(n_relations)])
+    ll = line_len or n_clusters
+    assert n_relations < ll, "need line_len > n_relations"
+    pos = np.arange(n_clusters, dtype=np.int32) % ll
+    ks, iis = [], []
+    for k in range(n_relations):
+        c = np.nonzero(pos < ll - (k + 1))[0].astype(np.int32)
+        ks.append(np.full(len(c), k, np.int32))
+        iis.append(c)
+    ks = np.concatenate(ks)
+    iis = np.concatenate(iis)
     a = np.arange(per, dtype=np.int32)
     shape = (len(ks), per, per)
     h = np.broadcast_to((iis[:, None, None] * per

@@ -418,7 +418,12 @@ def combine_rank_metrics(ranks: np.ndarray, plan, empty_msg: str
         local = np.array([r.size, r.sum(), (1.0 / r).sum(),
                           (r <= 1).sum(), (r <= 3).sum(),
                           (r <= 10).sum()], np.float64)
-        tot = np.asarray(multihost_utils.process_allgather(local)).sum(0)
+        # allgather the raw float64 BITS as uint32: process_allgather
+        # rides jax's default 32-bit mode, which would silently round
+        # the partial sums (and large counts) to float32
+        gathered = np.asarray(multihost_utils.process_allgather(
+            local.view(np.uint32)))
+        tot = gathered.reshape(-1, local.size * 2).view(np.float64).sum(0)
         if tot[0] == 0:
             raise ValueError(empty_msg)
         return {"MRR": tot[2] / tot[0], "MR": tot[1] / tot[0],
