@@ -440,6 +440,43 @@ def synthetic_dataset(n_entities: int = 1000, n_relations: int = 20,
                      valid=sample(n_valid), test=sample(n_test))
 
 
+def planted_ring_big(n_clusters: int, ring_len: int, per: int = 4,
+                     n_relations: int = 1, seed: int = 0,
+                     n_test: int = 2000) -> KGDataset:
+    """Vectorized scale-invariant "cycle" structure for the bilinear
+    family: clusters form n_clusters/ring_len independent RINGS of
+    ring_len; r_k maps ring position i -> (i+k+1) % ring_len (an
+    asymmetric permutation, exactly what ComplEx/SimplE/RESCAL
+    represent — planted_dataset("cycle") semantics per ring).  Parallel
+    short rings keep the geometry local at any entity count, like
+    planted_line_big's line_len."""
+    rng = np.random.RandomState(seed)
+    assert n_clusters % ring_len == 0 and n_relations < ring_len
+    pos = np.arange(n_clusters, dtype=np.int32)
+    base = pos - pos % ring_len
+    ks, iis, jjs = [], [], []
+    for k in range(n_relations):
+        ks.append(np.full(n_clusters, k, np.int32))
+        iis.append(pos)
+        jjs.append(base + (pos % ring_len + k + 1) % ring_len)
+    ks, iis, jjs = (np.concatenate(x) for x in (ks, iis, jjs))
+    a = np.arange(per, dtype=np.int32)
+    shape = (len(ks), per, per)
+    h = np.broadcast_to((iis[:, None, None] * per
+                         + a[None, :, None]), shape).reshape(-1)
+    t = np.broadcast_to((jjs[:, None, None] * per
+                         + a[None, None, :]), shape).reshape(-1)
+    r = np.broadcast_to(ks[:, None, None], shape).reshape(-1)
+    idx = rng.permutation(len(h))
+    h, r, t = h[idx].copy(), r[idx].copy(), t[idx].copy()
+    n_test = min(n_test, len(h) // 10)
+    return KGDataset(name="planted_ring_big",
+                     n_entities=n_clusters * per,
+                     n_relations=n_relations,
+                     train=(h[n_test:], r[n_test:], t[n_test:]),
+                     test=(h[:n_test], r[:n_test], t[:n_test]))
+
+
 def planted_line_big(n_clusters: int, per: int = 4, n_relations: int = 1,
                      seed: int = 0, n_test: int = 2000,
                      line_len: Optional[int] = None) -> KGDataset:
@@ -464,18 +501,20 @@ def planted_line_big(n_clusters: int, per: int = 4, n_relations: int = 1,
     ll = line_len or n_clusters
     assert n_relations < ll, "need line_len > n_relations"
     pos = np.arange(n_clusters, dtype=np.int32) % ll
-    ks, iis = [], []
+    ks, iis, jjs = [], [], []
     for k in range(n_relations):
         c = np.nonzero(pos < ll - (k + 1))[0].astype(np.int32)
         ks.append(np.full(len(c), k, np.int32))
         iis.append(c)
+        jjs.append(c + k + 1)
     ks = np.concatenate(ks)
     iis = np.concatenate(iis)
+    jjs = np.concatenate(jjs)
     a = np.arange(per, dtype=np.int32)
     shape = (len(ks), per, per)
     h = np.broadcast_to((iis[:, None, None] * per
                          + a[None, :, None]), shape).reshape(-1)
-    t = np.broadcast_to(((iis + ks + 1)[:, None, None] * per
+    t = np.broadcast_to((jjs[:, None, None] * per
                          + a[None, None, :]), shape).reshape(-1)
     r = np.broadcast_to(ks[:, None, None], shape).reshape(-1)
     idx = rng.permutation(len(h))

@@ -229,3 +229,30 @@ def test_planted_line_big_matches_loop_generator():
     assert big.train[0].dtype == np.int32
     assert len(big.test[0]) == 50
     assert big.n_entities == 60 and big.n_relations == 3
+
+
+def test_planted_ring_big_matches_cycle_generator():
+    """One full-size ring reproduces planted_dataset('cycle') exactly;
+    split rings stay within ring boundaries."""
+    from dglke_tpu.data.dataset import planted_dataset, planted_ring_big
+
+    big = planted_ring_big(n_clusters=8, ring_len=8, per=6, n_relations=3,
+                           n_test=40)
+    loop = planted_dataset("cycle", n_clusters=8, per=6, n_relations=3)
+
+    def canon(ds):
+        out = set()
+        for part in (ds.train, ds.test):
+            if part is None:
+                continue
+            out |= set(zip(part[0].tolist(), part[1].tolist(),
+                           part[2].tolist()))
+        return out
+
+    assert canon(big) == canon(loop)
+
+    rings = planted_ring_big(n_clusters=20, ring_len=5, per=2,
+                             n_relations=2, n_test=0)
+    h, r, t = rings.train
+    # no edge crosses a ring boundary (clusters of 5, entities of 10)
+    assert ((h // 10) == (t // 10)).all()

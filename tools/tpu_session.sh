@@ -1,9 +1,13 @@
 #!/bin/bash
-# One TPU window, maximum data: run checks in priority order, each under
+# One TPU window, maximum data: run captures in priority order, each under
 # its own timeout, appending results to tools/tpu_session.log.  The
 # tunneled test TPU wedges intermittently — a hang in any step must not
-# lose the rest of the window.  NOTE: do not set PYTHONPATH (it breaks
-# the axon plugin registration); run from the repo root instead.
+# lose the rest of the window, and a mid-session wedge must not burn the
+# remaining steps' timeouts: health is re-probed (fresh matmul shapes)
+# before each step, and a failed probe exits 124 so tools/tpu_hunt.sh
+# treats the session like a hang and retries in the next window.
+# NOTE: do not set PYTHONPATH (it breaks the axon plugin registration);
+# run from the repo root instead.
 cd "$(dirname "$0")/.."
 LOG=tools/tpu_session.log
 # Persist compiles across windows: a superstep compile costs minutes over
@@ -13,38 +17,46 @@ export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 stamp() { echo "=== $(date -u +%H:%M:%S) $1 ===" >> $LOG; }
 
-stamp "health"
-timeout 90 python -c "
-import jax, jax.numpy as jnp, time
-t0=time.time(); x = jnp.ones((512,512)) @ jnp.ones((512,512))
-print('health ok', float(x[0,0]), round(time.time()-t0,1))" >> $LOG 2>&1 || { stamp "health FAILED"; exit 1; }
+probe() {
+  D1=$((257 + RANDOM % 1000)); D2=$((129 + RANDOM % 1000))
+  timeout -k 10 150 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones(($D1, $D2)) @ jnp.ones(($D2, $D1))
+assert float(x[0, 0]) == $D2" 2>/dev/null
+}
 
+step() {  # step <budget_s> <label> <cmd...>
+  BUDGET=$1; LABEL=$2; shift 2
+  if ! probe; then
+    stamp "TUNNEL WEDGED before '$LABEL' — aborting session (retry)"
+    exit 124
+  fi
+  stamp "$LABEL"
+  timeout -k 10 "$BUDGET" "$@" >> $LOG 2>&1 || stamp "$LABEL FAILED/HUNG"
+}
+
+stamp "=== round-4 session start ==="
 # bench.py FIRST and with the longest budget: it is the official record
 # path, and a code change that invalidates the compile cache costs
-# minutes of tunnel compile before a single timed group runs (17:53
-# window: killed at exactly the old 500 s timeout, mid-compile).
-stamp "bench.py (headline, XLA rows)"
-timeout 900 python bench.py >> $LOG 2>&1 || stamp "bench FAILED/HUNG"
+# minutes of tunnel compile before a single timed group runs.
+step 900 "bench.py (headline)" python bench.py
 
+step 500 "capture_r4 eval (filtered full-entity, FB15k shape)" \
+  python tools/capture_r4.py eval
+step 580 "capture_r4 wikikg2 (2.5M-entity pipeline)" \
+  python tools/capture_r4.py wikikg2
+step 500 "capture_r4 transr (VPU family step)" \
+  python tools/capture_r4.py transr
+step 500 "capture_r4 rescal (VPU family step)" \
+  python tools/capture_r4.py rescal
+timeout 60 python tools/capture_r4.py merge >> $LOG 2>&1
 
-
-
-stamp "fused filtered eval (FB15k shape) -> fragment"
-timeout 500 python tools/capture_r3.py eval >> $LOG 2>&1 || stamp "eval FAILED/HUNG"
-
-stamp "diag_relupdate (scatter vs dense one-hot Adagrad, small tables)"
-timeout 600 python -c "
-import sys; sys.path.insert(0, '.')
-import runpy; runpy.run_path('tools/diag_relupdate.py', run_name='__main__')" >> $LOG 2>&1 || stamp "relupdate FAILED/HUNG"
-
-stamp "large-vocab train (wikikg2 scale) -> fragment"
-timeout 580 python tools/capture_r3.py wikikg2 >> $LOG 2>&1 || stamp "large-vocab FAILED/HUNG"
-
-stamp "refresh driver-visible BENCH_EXTRA from whatever fragments exist"
-timeout 60 python tools/capture_r3.py merge >> $LOG 2>&1 || stamp "merge FAILED"
-
-stamp "diag_transfer (h2d paths: bulk vs jit-arg vs dispatch)"
-timeout 400 python tools/diag_transfer.py >> $LOG 2>&1 || stamp "diag_transfer FAILED/HUNG"
+# 8-family quality-at-FB15k-scale gates (~66M train triples each; the
+# matmul family takes ~30 s + compile, TransR/RESCAL a few minutes)
+for M in TransE_l2 TransE_l1 DistMult ComplEx SimplE RotatE TransR RESCAL; do
+  step 580 "capture_r4 quality_$M" python tools/capture_r4.py "quality_$M"
+done
+timeout 60 python tools/capture_r4.py merge >> $LOG 2>&1
 
 stamp "done"
-tail -30 $LOG
+tail -40 $LOG
