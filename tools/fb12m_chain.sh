@@ -1,0 +1,30 @@
+#!/bin/bash
+# One fb12m capture attempt: train ONE segment of the 12M-entity record
+# (resumes from tools/fb12m_ckpt); when the step target is reached, run
+# the filtered-eval + resume-check steps and merge the round artifact.
+# Exits 0 only when the whole record is captured; exits 5 while more
+# segments remain, so a supervisor loop keeps hunting windows:
+#   while ! bash tools/tpu_hunt.sh 3000 bash tools/fb12m_chain.sh; do
+#     sleep 45; done
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+export FB12M_SEGMENT=${FB12M_SEGMENT:-2097152}
+
+python tools/capture_r4.py fb12m_train || exit $?
+python tools/capture_r4.py merge
+if python - <<'EOF'
+import json, sys
+try:
+    d = json.load(open("tools/session_r4_fb12m_train.json"))
+except Exception:
+    sys.exit(1)
+sys.exit(0 if d.get("done") else 1)
+EOF
+then
+  python tools/capture_r4.py fb12m_eval || exit $?
+  python tools/capture_r4.py fb12m_resume || exit $?
+  python tools/capture_r4.py merge
+  exit 0
+fi
+exit 5
