@@ -18,6 +18,7 @@ head/tail samplers.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, NamedTuple, Optional
 
 import jax
@@ -37,6 +38,30 @@ from dglke_tpu.ops.embedding import (
     init_embedding,
     sparse_adagrad_update,
 )
+
+
+def _rescal_fused_enabled() -> bool:
+    """EXPERIMENTAL fused RESCAL relation path (DGLKE_TPU_RESCAL_FUSED=1):
+    factored relation gradients + the Pallas outer-product Adagrad kernel
+    (ops/pallas/outer_update.py).  Single-device fp32 only — a
+    pallas_call is opaque to the SPMD partitioner, like the row kernels
+    (ops/embedding.py:set_pallas_rows)."""
+    return os.environ.get("DGLKE_TPU_RESCAL_FUSED", "") in ("1", "true")
+
+
+def _update_relation(rel: EmbeddingState, r, g_r, lr: float,
+                     cfg: KGEConfig) -> EmbeddingState:
+    """Dispatch the relation-table update: factored ("outer", a, v)
+    gradients take the fused Pallas kernel (regularization gradient
+    applied in-kernel); dense arrays take the stock sparse Adagrad."""
+    if isinstance(g_r, tuple) and g_r[0] == "outer":
+        from dglke_tpu.ops.pallas.outer_update import outer_adagrad_update
+        interpret = jax.default_backend() != "tpu"
+        return outer_adagrad_update(
+            rel, r, g_r[1], g_r[2], lr,
+            reg_coef=cfg.regularization_coef,
+            reg_norm=cfg.regularization_norm, interpret=interpret)
+    return sparse_adagrad_update(rel, r, g_r, lr)
 
 
 class TrainState(NamedTuple):
@@ -179,6 +204,15 @@ class KEModel:
         chunk_size = b // num_chunks
         neg_sample_size = neg.shape[0] // num_chunks
 
+        if (self.score_fn.name == "RESCAL" and _rescal_fused_enabled()
+                and not cfg.neg_deg_sample
+                and cfg.compute_dtype != "bfloat16"
+                and cfg.emb_dtype != "bfloat16"):
+            return self._rescal_loss_and_grads_factored(
+                state, h, r, t, neg, impts, neg_head=neg_head,
+                num_chunks=num_chunks, chunk_size=chunk_size,
+                neg_sample_size=neg_sample_size)
+
         # bfloat16 scoring (optional): gathered rows are cast before the
         # score kernels so matmuls take the fast MXU path; the loss, softmax
         # and gradients accumulate in fp32 (preferred_element_type) and the
@@ -243,6 +277,93 @@ class KEModel:
             grads = grads + (None,)
         return loss, log, (ent_ids,) + grads
 
+    def _rescal_loss_and_grads_factored(self, state: TrainState, h, r, t,
+                                        neg, impts, *, neg_head: bool,
+                                        num_chunks: int, chunk_size: int,
+                                        neg_sample_size: int):
+        """RESCAL loss/grads with the relation gradient kept FACTORED.
+
+        The bilinear score factors through a single per-edge vector:
+        tail-corrupt ``tmp = R_bᵀ h_b`` gives ``pos = tmp·t`` and
+        ``negs = tmp·n_k``; head-corrupt ``tmp = R_b t_b`` gives
+        ``pos = h·tmp`` and ``negs = n·tmp``.  Differentiating w.r.t.
+        ``tmp`` instead of the gathered relation rows makes the relation
+        gradient exactly ``a_b ⊗ v_b`` (rank 1 per edge) — never
+        materializing the [B, Dr·De] array the stock autodiff produces
+        (160 MB/step at the benchmark shape).  The factors feed the fused
+        Pallas update (ops/pallas/outer_update.py), which also applies
+        the norm-p regularization gradient of the relation rows
+        in-kernel; only the regularization VALUE is computed here (for
+        the loss log, matching general_models.py:572-576).
+
+        Experimental, DGLKE_TPU_RESCAL_FUSED=1 (single-device fp32 only:
+        a pallas_call is opaque to the SPMD partitioner, and the kernel
+        assumes fp32 tables).
+        """
+        cfg = self.config
+        b = h.shape[0]
+        dr = self.score_fn.relation_dim
+        de = self.score_fn.entity_dim
+        ent_ids = jnp.concatenate([h, t, neg])
+        ent_rows = gather_rows(state.entity, ent_ids, dim=self.entity_dim,
+                               dtype=jnp.float32)
+        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim,
+                               dtype=jnp.float32)
+        rmat = rel_rows.reshape(b, dr, de)
+        h0, t0 = ent_rows[:b], ent_rows[b:2 * b]
+        if neg_head:
+            tmp0 = jnp.einsum("bre,be->br", rmat, t0,
+                              preferred_element_type=jnp.float32,
+                              precision="highest")
+        else:
+            tmp0 = jnp.einsum("bre,br->be", rmat, h0,
+                              preferred_element_type=jnp.float32,
+                              precision="highest")
+
+        def loss_fn(ent_rows, tmp):
+            h_rows, t_rows = ent_rows[:b], ent_rows[b:2 * b]
+            neg_rows = ent_rows[2 * b:]
+            side = h_rows if neg_head else t_rows
+            pos = jnp.sum(side * tmp, axis=-1)
+            tc = tmp.reshape(num_chunks, chunk_size, -1)
+            nc = neg_rows.reshape(num_chunks, neg_sample_size, -1)
+            negs = jnp.einsum("cbd,ckd->cbk", tc, nc,
+                              preferred_element_type=jnp.float32,
+                              precision="highest")
+            loss, log = self.loss_gen.get_total_loss(
+                pos, negs.reshape(-1, neg_sample_size), impts)
+            if cfg.regularization_coef > 0.0 and cfg.regularization_norm > 0:
+                # entity part only: the relation rows' reg gradient is
+                # applied in-kernel; its value is added below
+                reg = regularization(cfg.regularization_coef,
+                                     cfg.regularization_norm, [ent_rows])
+                log["regularization"] = reg
+                loss = loss + reg
+            return loss, log
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (loss, log), (g_ent, g_tmp) = grad_fn(ent_rows, tmp0)
+        if neg_head:
+            # tmp = R t  =>  dt += Rᵀ g_tmp ; dR = g_tmp ⊗ t
+            extra = jnp.einsum("bre,br->be", rmat, g_tmp,
+                               preferred_element_type=jnp.float32,
+                               precision="highest")
+            g_ent = g_ent.at[b:2 * b].add(extra)
+            factors = (g_tmp, t0)
+        else:
+            # tmp = Rᵀ h  =>  dh += R g_tmp ; dR = h ⊗ g_tmp
+            extra = jnp.einsum("bre,be->br", rmat, g_tmp,
+                               preferred_element_type=jnp.float32,
+                               precision="highest")
+            g_ent = g_ent.at[:b].add(extra)
+            factors = (h0, g_tmp)
+        if cfg.regularization_coef > 0.0 and cfg.regularization_norm > 0:
+            reg_rel = regularization(cfg.regularization_coef,
+                                     cfg.regularization_norm, [rel_rows])
+            log["regularization"] = log["regularization"] + reg_rel
+            loss = loss + reg_rel
+        return loss, log, (ent_ids, g_ent, ("outer",) + factors, None)
+
     # -- train step ----------------------------------------------------------
 
     def train_step(self, state: TrainState, h, r, t, neg, impts, *,
@@ -254,7 +375,7 @@ class KEModel:
         ent_ids, ent_grads, g_r, g_proj = grads
         entity = sparse_adagrad_update(state.entity, ent_ids, ent_grads,
                                        cfg.lr)
-        relation = sparse_adagrad_update(state.relation, r, g_r, cfg.lr)
+        relation = _update_relation(state.relation, r, g_r, cfg.lr, cfg)
         projection = state.projection
         if self.is_transr:
             projection = sparse_adagrad_update(state.projection, r, g_proj,
@@ -291,7 +412,7 @@ class KEModel:
         ent_ids, ent_grads, g_r, g_proj = grads
         entity = sparse_adagrad_update(state.entity, pending[0], pending[1],
                                        cfg.lr)
-        relation = sparse_adagrad_update(state.relation, r, g_r, cfg.lr)
+        relation = _update_relation(state.relation, r, g_r, cfg.lr, cfg)
         projection = state.projection
         if self.is_transr:
             projection = sparse_adagrad_update(state.projection, r, g_proj,

@@ -49,6 +49,8 @@ step 500 "capture_r4 transr (VPU family step)" \
   python tools/capture_r4.py transr
 step 500 "capture_r4 rescal (VPU family step)" \
   python tools/capture_r4.py rescal
+step 580 "diag_rescal_fused (stock vs Pallas factored, same session)" \
+  python tools/diag_rescal_fused.py
 timeout 60 python tools/capture_r4.py merge >> $LOG 2>&1
 
 # 8-family quality-at-FB15k-scale gates (~66M train triples each; the
