@@ -433,33 +433,49 @@ class KEModel:
                 jnp.zeros((n, self.entity_dim), jnp.float32))
 
     def make_train_step(self, donate: bool = True):
-        """Jit-compiled train step; two specializations (head/tail corrupt)."""
-        fn = functools.partial(self.train_step)
+        """Jit-compiled train step; two specializations (head/tail corrupt).
+        Memoized: repeated train() calls must reuse one jit wrapper (jax's
+        compile cache keys on the function object)."""
+        def build():
+            fn = functools.partial(self.train_step)
 
-        def step(state, h, r, t, neg, impts, neg_head):
-            return fn(state, h, r, t, neg, impts, neg_head=neg_head)
+            def step(state, h, r, t, neg, impts, neg_head):
+                return fn(state, h, r, t, neg, impts, neg_head=neg_head)
 
-        return jax.jit(step, static_argnames=("neg_head",),
-                       donate_argnums=(0,) if donate else ())
+            return jax.jit(step, static_argnames=("neg_head",),
+                           donate_argnums=(0,) if donate else ())
+
+        return self._memo(("train_step", donate), build)
 
     def make_train_step_packed(self, batch_size: int, donate: bool = True):
         """Packed-batch variant: ids arrive as ONE int32 array
         [h | r | t | neg] so the host->device path is a single transfer
         (per-array device_put overhead dominates the step otherwise).
-        impts, when used, rides as a second fp32 array."""
-        b = batch_size
+        impts, when used, rides as a second fp32 array.  Memoized."""
+        def build():
+            b = batch_size
 
-        def step(state, packed, impts, neg_head):
-            h, r, t = packed[:b], packed[b:2 * b], packed[2 * b:3 * b]
-            neg = packed[3 * b:]
-            return self.train_step(state, h, r, t, neg, impts,
-                                   neg_head=neg_head)
+            def step(state, packed, impts, neg_head):
+                h, r, t = packed[:b], packed[b:2 * b], packed[2 * b:3 * b]
+                neg = packed[3 * b:]
+                return self.train_step(state, h, r, t, neg, impts,
+                                       neg_head=neg_head)
 
-        return jax.jit(step, static_argnames=("neg_head",),
-                       donate_argnums=(0,) if donate else ())
+            return jax.jit(step, static_argnames=("neg_head",),
+                           donate_argnums=(0,) if donate else ())
+
+        return self._memo(("train_step_packed", batch_size, donate), build)
 
     def make_train_superstep(self, batch_size: int, steps_per_call: int,
                              donate: bool = True):
+        return self._memo(
+            ("train_superstep", batch_size, steps_per_call, donate),
+            lambda: self._build_train_superstep(batch_size,
+                                                steps_per_call, donate))
+
+    def _build_train_superstep(self, batch_size: int,
+                               steps_per_call: int,
+                               donate: bool = True):
         """Multi-step train kernel: runs `steps_per_call` steps in ONE device
         call via lax.scan, alternating head-/tail-corrupt like the
         reference's bidirectional iterator (even rows head, odd rows tail).
@@ -509,6 +525,19 @@ class KEModel:
         return jax.jit(superstep, donate_argnums=(0,) if donate else ())
 
     def make_device_pipeline_step(self, n_edges: int, batch_size: int,
+                                  neg_total: int, steps_per_call: int,
+                                  donate: bool = True, plan=None,
+                                  with_impts: bool = False):
+        # memoized (jax's compile cache keys on the function object);
+        # plans are long-lived, so id(plan) is a stable key component
+        return self._memo(
+            ("device_pipeline_step", n_edges, batch_size, neg_total,
+             steps_per_call, donate, id(plan), with_impts),
+            lambda: self._build_device_pipeline_step(
+                n_edges, batch_size, neg_total, steps_per_call,
+                donate=donate, plan=plan, with_impts=with_impts))
+
+    def _build_device_pipeline_step(self, n_edges: int, batch_size: int,
                                   neg_total: int, steps_per_call: int,
                                   donate: bool = True, plan=None,
                                   with_impts: bool = False):
@@ -603,6 +632,20 @@ class KEModel:
                        donate_argnums=(0, 4) if donate else ())  # state, nxt
 
     def make_device_pipeline_step_multihost(
+            self, n_edges: int, batch_size: int, neg_total: int,
+            steps_per_call: int, plan, nproc: int, local: int,
+            key_impl=None, with_impts: bool = False,
+            donate: bool = True):
+        return self._memo(
+            ("device_pipeline_step_mh", n_edges, batch_size, neg_total,
+             steps_per_call, id(plan), nproc, local, key_impl,
+             with_impts, donate),
+            lambda: self._build_device_pipeline_step_multihost(
+                n_edges, batch_size, neg_total, steps_per_call, plan,
+                nproc, local, key_impl=key_impl,
+                with_impts=with_impts, donate=donate))
+
+    def _build_device_pipeline_step_multihost(
             self, n_edges: int, batch_size: int, neg_total: int,
             steps_per_call: int, plan, nproc: int, local: int,
             key_impl=None, with_impts: bool = False, donate: bool = True):

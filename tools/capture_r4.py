@@ -56,6 +56,9 @@ FRAG = {
     "fb12m_train": "tools/session_r4_fb12m_train.json",
     "fb12m_eval": "tools/session_r4_fb12m_eval.json",
     "fb12m_resume": "tools/session_r4_fb12m_resume.json",
+    # produced by tools/diag_rescal_fused.py / tools/dist_ab.py
+    "rescal_fused": "tools/session_r4_rescal_fused.json",
+    "dist_ab": "tools/session_r4_dist_ab.json",
 }
 for _m in QUALITY_MODELS:
     FRAG[f"quality_{_m}"] = f"tools/session_r4_quality_{_m}.json"
