@@ -67,6 +67,11 @@ FB12M_CKPT = "tools/fb12m_ckpt"
 
 
 def _write(step, payload):
+    # every fragment records the backend it was measured on: CPU smoke /
+    # calibration runs share these filenames with the real TPU captures,
+    # and a CPU number must never masquerade as a chip measurement
+    import jax
+    payload["backend"] = jax.default_backend()
     payload["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     with open(FRAG[step], "w") as f:
         json.dump(payload, f, indent=1)
@@ -420,7 +425,9 @@ def step_fb12m_resume():
 
 
 def step_merge():
-    rec = {"round": 4, "device": "1x v5e (tunneled)",
+    rec = {"round": 4, "device": "1x v5e (tunneled); per-fragment "
+                                 "'backend' tags are authoritative "
+                                 "(cpu = calibration, tpu = capture)",
            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "provenance": "tools/tpu_hunt.sh round-4 windows; "
                          "fragments under tools/session_r4_*.json"}
