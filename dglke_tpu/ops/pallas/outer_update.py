@@ -101,8 +101,12 @@ def _call(emb3, ss2, ids, a, bv, *, lr, reg_coef, reg_norm, da, interpret):
         in_specs=[
             pl.BlockSpec((1, da, db), lambda p, b, ids: (ids[b], 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ss_in: whole array
-            pl.BlockSpec((1, da), lambda p, b, ids: (b, 0)),
-            pl.BlockSpec((1, db), lambda p, b, ids: (b, 0)),
+            # factors ride as [B, 1, D]: Mosaic requires the last two
+            # block dims be (8, 128)-divisible or full — a leading
+            # untiled row index with a singleton sublane satisfies it
+            # (same rank-3 trick as ops/pallas/rows.py)
+            pl.BlockSpec((1, 1, da), lambda p, b, ids: (b, 0, 0)),
+            pl.BlockSpec((1, 1, db), lambda p, b, ids: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, da, db), lambda p, b, ids: (ids[b], 0, 0)),
@@ -141,8 +145,8 @@ def outer_adagrad_update(table: EmbeddingState, ids: jnp.ndarray,
     assert table.emb.dtype == jnp.float32, "fused path requires fp32 table"
     order = jnp.argsort(ids)
     ids_s = ids[order].astype(jnp.int32)
-    a_s = a[order].astype(jnp.float32)
-    b_s = bv[order].astype(jnp.float32)
+    a_s = a[order].astype(jnp.float32).reshape(n, 1, da)
+    b_s = bv[order].astype(jnp.float32).reshape(n, 1, db)
     emb3 = table.emb.reshape(e, da, db)
     ss2 = table.state_sum.reshape(e, 1)
     emb3, ss2 = _call(emb3, ss2, ids_s, a_s, b_s, lr=float(lr),
