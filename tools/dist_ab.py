@@ -53,19 +53,23 @@ ds = KGDataset(name="ab", n_entities=5000, n_relations=11,
                train=(h[part], r[part], t[part]))
 
 out = {}
-for label, spc in (("fused", 16), ("per_step", 1)):
+# the per-step arm runs ~1 s/step on CPU Gloo (that gap IS the result),
+# so it times fewer steps; us_per_step normalizes
+import dataclasses
+for label, spc, steps in (("fused", 16, 512), ("per_step", 1, 64)):
     cfg = KGEConfig(model_name="TransE_l2", hidden_dim=64, gamma=10.0,
                     lr=0.1, batch_size=512, neg_sample_size=64,
-                    max_step=512, log_interval=10**9, seed=5,
+                    max_step=steps, log_interval=10**9, seed=5,
                     steps_per_call=spc, dataset="ab")
     plan = ShardingPlan(make_mesh(4), table_sharding="vocab")
     model = KEModel(cfg, ds.n_entities, ds.n_relations)
     # warmup run (compiles); then timed run on a fresh state
-    train(cfg, ds, model=model, plan=plan, log=lambda *a: None)
+    warm = dataclasses.replace(cfg, max_step=32 if spc == 1 else steps)
+    train(warm, ds, model=model, plan=plan, log=lambda *a: None)
     t0 = time.time()
     train(cfg, ds, model=model, plan=plan, log=lambda *a: None)
     dt = time.time() - t0
-    out[label] = {"s_total": round(dt, 3),
+    out[label] = {"s_total": round(dt, 3), "steps": steps,
                   "us_per_step": round(dt / cfg.max_step * 1e6, 1)}
 print("ABRESULT" + str(rank) + __import__("json").dumps(out))
 """
