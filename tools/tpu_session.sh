@@ -60,5 +60,11 @@ for M in TransE_l2 TransE_l1 DistMult ComplEx SimplE RotatE TransR RESCAL; do
 done
 timeout 60 python tools/capture_r4.py merge >> $LOG 2>&1
 
+# one resumable 12M-entity training segment rides the tail of every
+# completed session; the dedicated fb12m_chain supervisor finishes the
+# record (eval + resume) once the step target is reached
+step 1400 "fb12m segment (resumable, 1M steps)" \
+  env FB12M_SEGMENT=1048576 bash tools/fb12m_chain.sh
+
 stamp "done"
 tail -40 $LOG
