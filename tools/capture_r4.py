@@ -49,6 +49,7 @@ QUALITY_MODELS = ["TransE_l2", "TransE_l1", "TransR", "RotatE",
                   "DistMult", "ComplEx", "SimplE", "RESCAL"]
 
 FRAG = {
+    "bench": "tools/session_r4_bench.json",   # written by tpu_session.sh
     "transr": "tools/session_r4_transr.json",
     "rescal": "tools/session_r4_rescal.json",
     "wikikg2": "tools/session_r4_wikikg2.json",
