@@ -11,6 +11,16 @@ export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 export FB12M_SEGMENT=${FB12M_SEGMENT:-2097152}
 
+# pick up any quality family whose fragment is missing (e.g. a config
+# was recalibrated and its failed fragment deleted) before spending the
+# window on a training segment
+for M in TransE_l2 TransE_l1 DistMult ComplEx SimplE RotatE TransR RESCAL; do
+  if ! [ -s "tools/session_r4_quality_$M.json" ]; then
+    timeout -k 10 580 python tools/capture_r4.py "quality_$M" \
+      >> tools/tpu_session.log 2>&1
+  fi
+done
+
 python tools/capture_r4.py fb12m_train || exit $?
 python tools/capture_r4.py merge
 if python - <<'EOF'
