@@ -352,7 +352,11 @@ def step_fb12m_train():
 
     _enable_cache()
     ds, cfg, model = _fb12m_setup()
-    epochs = float(os.environ.get("FB12M_EPOCHS", 60))
+    # 42 epochs: the 16k-entity calibration reaches MRR 0.982 at 50
+    # epochs and ~0.9 by the low 40s; trimmed from 60 so the full
+    # train->eval->resume record completes within round-4's remaining
+    # tunnel windows (the fragment records epochs honestly either way)
+    epochs = float(os.environ.get("FB12M_EPOCHS", 42))
     total = int(epochs * ds.n_train / cfg.batch_size)
     align = 2 * cfg.steps_per_call
     total = max(align, total - total % align)
