@@ -53,7 +53,10 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, model_name=saved.model_name, hidden_dim=saved.hidden_dim,
             gamma=saved.gamma, double_ent=saved.double_ent,
-            double_rel=saved.double_rel, dataset=saved.dataset)
+            double_rel=saved.double_rel, dataset=saved.dataset,
+            # storage dtype decides the sharded-ckpt template dtype (a
+            # bf16-stored table cannot restore into an fp32 template)
+            emb_dtype=saved.emb_dtype)
 
     dataset = get_dataset(cfg.data_path, cfg.dataset, cfg.format,
                           cfg.delimiter, cfg.data_files,
