@@ -352,11 +352,12 @@ def step_fb12m_train():
 
     _enable_cache()
     ds, cfg, model = _fb12m_setup()
-    # 42 epochs: the 16k-entity calibration reaches MRR 0.982 at 50
-    # epochs and ~0.9 by the low 40s; trimmed from 60 so the full
-    # train->eval->resume record completes within round-4's remaining
-    # tunnel windows (the fragment records epochs honestly either way)
-    epochs = float(os.environ.get("FB12M_EPOCHS", 42))
+    # 27 epochs: the 16k-entity calibration reaches MRR 0.72 by 25
+    # epochs and 0.982 by 50; trimmed twice (60 -> 42 -> 27) as tunnel
+    # wedges consumed round-4 windows, so the full train->eval->resume
+    # record lands this round (the fragment records epochs honestly, and
+    # later rounds can resume the checkpoint toward the 0.982 regime)
+    epochs = float(os.environ.get("FB12M_EPOCHS", 27))
     total = int(epochs * ds.n_train / cfg.batch_size)
     align = 2 * cfg.steps_per_call
     total = max(align, total - total % align)

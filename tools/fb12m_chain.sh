@@ -21,6 +21,14 @@ for M in TransE_l2 TransE_l1 DistMult ComplEx SimplE RotatE TransR RESCAL; do
   fi
 done
 
+# one-time EARLY eval on the existing checkpoint: caches the 12M-entity
+# eval compile (minutes over the tunnel) and records MRR-so-far; the
+# final post-target eval overwrites it
+if [ -d tools/fb12m_ckpt ] && ! [ -s tools/session_r4_fb12m_eval.json ]; then
+  timeout -k 10 1200 python tools/capture_r4.py fb12m_eval \
+    >> tools/tpu_session.log 2>&1
+fi
+
 python tools/capture_r4.py fb12m_train || exit $?
 python tools/capture_r4.py merge
 if python - <<'EOF'
