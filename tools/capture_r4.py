@@ -263,10 +263,11 @@ QUALITY_CASES = {
     "ComplEx": ("cycle", dict(gamma=6.0, lr=0.15,
                               neg_adversarial_sampling=False,
                               regularization_coef=2e-6)),
-    # SimplE is lr-sensitive at this scale: lr 0.15 collapses to MRR
-    # 0.155 (TPU capture) while 0.1 solves the same structure (quarter-
-    # scale sweep: 1.000 at lr 0.1, 0.980 at 0.05)
-    "SimplE": ("cycle", dict(gamma=6.0, lr=0.1,
+    # SimplE is the slowest converger of the bilinear family at scale:
+    # lr 0.15 collapses (MRR 0.155), lr 0.1 reaches 0.666 at 65k steps
+    # (quarter scale solves at the same epoch count), so it gets 2x the
+    # steps — ~100 s extra on TPU
+    "SimplE": ("cycle", dict(gamma=6.0, lr=0.1, max_step=131072,
                              neg_adversarial_sampling=False,
                              regularization_coef=2e-6)),
     "RESCAL": ("cycle", dict(hidden_dim=200, gamma=6.0, lr=0.1,
