@@ -41,7 +41,7 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     assert args.emb_file is not None, \
-        "emb_file should be provided for entity embeddings"
+        '--emb_file is required when scoring entity embeddings'
 
     data_files = args.data_files or []
     id2e_map = None

@@ -12,7 +12,7 @@ from dglke_tpu.data.partition_graph import partition_and_write
 
 def main(argv=None):
     p = argparse.ArgumentParser("dglke_tpu-partition",
-                                description="Partition a knowledge graph")
+                                description="Split a knowledge graph into per-machine edge partitions")
     p.add_argument("--data_path", type=str, default="data")
     p.add_argument("--dataset", type=str, default="FB15k")
     p.add_argument("--data_files", type=str, default=None, nargs="+")
@@ -28,7 +28,7 @@ def main(argv=None):
     print("load dataset..")
     dataset = get_dataset(args.data_path, args.dataset, args.format,
                           args.delimiter, args.data_files)
-    print("partition graph...")
+    print("partitioning edges...")
     prefix = os.path.join(args.data_path, args.dataset, "partition_")
     os.makedirs(os.path.dirname(prefix), exist_ok=True)
     info = partition_and_write(dataset.train, dataset.n_entities,

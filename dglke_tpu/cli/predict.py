@@ -57,11 +57,9 @@ def parse_inputs(args):
     id2e_map = id2r_map = None
     if args.raw_data:
         assert args.entity_mfile is not None, (
-            "When using RAW ID through --raw_data, entity_mfile should be "
-            "provided.")
+            "--raw_data needs an entity mapping file (entity_mfile)")
         assert args.rel_mfile is not None, (
-            "When using RAW ID through --raw_data, rel_mfile should be "
-            "provided.")
+            "--raw_data needs a relation mapping file (rel_mfile)")
         head, rel, tail, id2e_map, id2r_map = load_raw_triplet_data(
             head_f=head_f, rel_f=rel_f, tail_f=tail_f,
             emap_f=args.entity_mfile, rmap_f=args.rel_mfile)

@@ -146,7 +146,7 @@ class KGEConfig:
         if self.loss_genre not in LOSS_GENRES:
             raise ValueError(f"unknown loss genre {self.loss_genre}")
         if self.pairwise and self.neg_adversarial_sampling:
-            raise ValueError("loss cannot be pairwise and adversarial sampled")
+            raise ValueError("pairwise loss is incompatible with adversarial negative sampling")
         if self.pairwise and self.loss_genre not in ("Logistic", "Hinge"):
             raise ValueError(f"{self.loss_genre} loss cannot be pairwise")
         if self.neg_deg_sample_eval:

@@ -113,7 +113,7 @@ def _read_name_triples(path: str, entity2id, relation2id, fmt: List[int],
            np.asarray(tails, np.int64))
     if has_importance:
         e = np.asarray(impts, np.float32)
-        assert e.min() > 0.0, "Edge importance score should > 0"
+        assert e.min() > 0.0, 'edge importance weights must be positive'
         return out + (e,)
     return out
 
@@ -145,7 +145,7 @@ def _read_int_triples(path: str, fmt: List[int], delimiter: str = "\t",
            np.asarray(cols_data[2], np.int64))
     if has_importance:
         e = np.asarray(cols_data[3], np.float32)
-        assert e.min() > 0.0, "Edge importance score should > 0"
+        assert e.min() > 0.0, 'edge importance weights must be positive'
         return out + (e,)
     return out
 

@@ -173,15 +173,16 @@ class BasicGEModel:
         raise NotImplementedError
 
     def save(self, model_path: str):
-        raise NotImplementedError("Not support training now")
+        raise NotImplementedError(
+            'this model class is inference-only; save via dglke_tpu-train')
 
     def fit(self):
         raise NotImplementedError(
-            "Not support training now; use dglke_tpu.trainer")
+            "this model class is inference-only; train with dglke_tpu.trainer")
 
     def eval(self):
         raise NotImplementedError(
-            "Not support evaluation now; use dglke_tpu.trainer.evaluate")
+            "this model class is inference-only; evaluate with dglke_tpu.trainer.evaluate")
 
     # -- scoring ------------------------------------------------------------
 
@@ -261,7 +262,7 @@ class BasicGEModel:
             r_i = idx % nr
             return head[idx // nr % nh], rel[r_i], \
                 np.broadcast_to(tail, idx.shape)
-        raise ValueError(f"unknow execution mode type {exec_mode}")
+        raise ValueError(f"unrecognized exec_mode: {exec_mode!r}")
 
     def _topk_exclude_pos(self, score: np.ndarray, head, rel, tail,
                           topk: int, exec_mode: str,
@@ -318,8 +319,8 @@ class BasicGEModel:
 
         if exec_mode == "triplet_wise":
             assert len(head) == len(rel) == len(tail), (
-                "For triplet wise execution mode, head, relation and tail "
-                "lists should have same length")
+                "triplet_wise scoring pairs elementwise: head/rel/tail "
+                "lengths must match")
             score = squash(self._infer_score(head, rel, tail,
                                              triplet_wise=True,
                                              batch_size=batch_size))
@@ -346,7 +347,7 @@ class BasicGEModel:
                                            head, rel, tail[i], topk,
                                            exec_mode, exclude_mode)
                     for i in range(len(tail))]
-        raise ValueError(f"unknow execution mode type {exec_mode}")
+        raise ValueError(f"unrecognized exec_mode: {exec_mode!r}")
 
     # -- embedding similarity -----------------------------------------------
 
@@ -361,7 +362,7 @@ class BasicGEModel:
         elif embed_type == "relation":
             emb = self._relation_emb
         else:
-            raise ValueError("emb should entity or relation")
+            raise ValueError("emb must be 'entity' or 'relation'")
         sim = SIM_FUNCS[sfunc]
         left = np.arange(emb.shape[0]) if left is None \
             else np.asarray(left, dtype=np.int64)

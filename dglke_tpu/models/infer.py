@@ -168,7 +168,7 @@ class ScoreInfer:
 
     def __init__(self, device, config, model_path: str, sfunc: str = "none"):
         assert sfunc in ("none", "logsigmoid"), \
-            "score function should be none or logsigmoid"
+            "sfunc must be 'none' or 'logsigmoid'"
         if isinstance(config, dict):
             fields = {f.name for f in
                       __import__("dataclasses").fields(KGEConfig)}
@@ -207,8 +207,8 @@ class ScoreInfer:
         result = []
         if exec_mode == "triplet_wise":
             assert nh == nr == nt, (
-                "For triplet wise execution mode, head, relation and tail "
-                "lists should have same length")
+                "triplet_wise scoring pairs elementwise: head/rel/tail "
+                f"lengths must match (got {nh}/{nr}/{nt})")
             score = self._squash(m.score(head, rel, tail, triplet_wise=True))
             sidx, s = top(score, None)
             result.append((head[sidx], rel[sidx], tail[sidx], s))

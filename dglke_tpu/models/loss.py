@@ -49,7 +49,7 @@ class LossGenerator:
 
     def __post_init__(self):
         if self.pairwise and self.neg_adversarial_sampling:
-            raise ValueError("loss cannot be pairwise and adversarial sampled")
+            raise ValueError("pairwise loss is incompatible with adversarial negative sampling")
         if self.pairwise and self.loss_genre not in ("Logistic", "Hinge"):
             raise ValueError(
                 f"{self.loss_genre} loss cannot be applied to pairwise loss")

@@ -62,7 +62,7 @@ def load_raw_emb_data(file, map_f=None, e2id_map=None):
     elif e2id_map is not None:
         id2e_map = []
     else:
-        raise AssertionError("There should be an ID mapping file provided")
+        raise AssertionError('raw-id translation needs an ID mapping file')
     ids = _read_list(file, e2id_map)
     return ids, id2e_map, e2id_map
 

@@ -264,10 +264,11 @@ QUALITY_CASES = {
                               neg_adversarial_sampling=False,
                               regularization_coef=2e-6)),
     # SimplE is the slowest converger of the bilinear family at scale:
-    # lr 0.15 collapses (MRR 0.155), lr 0.1 reaches 0.666 at 65k steps
-    # (quarter scale solves at the same epoch count), so it gets 2x the
-    # steps — ~100 s extra on TPU
-    "SimplE": ("cycle", dict(gamma=6.0, lr=0.1, max_step=131072,
+    # lr 0.15 collapses (MRR 0.155); at lr 0.1 the at-scale trajectory is
+    # MRR 0.666 @ 65k steps -> 0.8328 @ 131k (both TPU-measured,
+    # tools/tpu_session.log 2026-08-21 07:11 / 09:19), converging but
+    # slowly — so 4x the family-standard steps (~200 s extra on TPU)
+    "SimplE": ("cycle", dict(gamma=6.0, lr=0.1, max_step=262144,
                              neg_adversarial_sampling=False,
                              regularization_coef=2e-6)),
     "RESCAL": ("cycle", dict(hidden_dim=200, gamma=6.0, lr=0.1,
