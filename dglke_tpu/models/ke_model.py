@@ -796,16 +796,34 @@ class KEModel:
         # count as ranking candidates.
         n_ent = self.n_entities
         n_blocks = -(-n_ent // block)
+        n_rows = state.entity.emb.shape[0]   # may carry padding rows
 
         def score_block(start):
-            ids = start + jnp.arange(block)
-            ids_c = jnp.minimum(ids, n_ent - 1)
-            cand = gather_rows(state.entity, ids_c, dim=self.entity_dim,
-                               sorted_ids=True)
-            valid = ids < n_ent
-            local = filter_ids - start                          # [B, F]
-            in_blk = ((local >= 0) & (local < block)
-                      & (filter_mask > 0))
+            if n_rows >= block:
+                # The candidate block is an iota slice: fetch it as a
+                # true dynamic_slice instead of a gather (XLA lowers a
+                # 16k-row gather as scattered row DMA; the slice is one
+                # contiguous HBM read).  The tail block's start is
+                # clamped so the slice stays in bounds; rows below
+                # `start` were scored by earlier blocks and are masked
+                # out of both counts, so ranks are unchanged.
+                cs = jnp.minimum(start, n_rows - block)
+                cand = jax.lax.dynamic_slice_in_dim(
+                    state.entity.emb, cs, block)[:, :self.entity_dim]
+                gids = cs + jnp.arange(block)
+                valid = (gids >= start) & (gids < n_ent)
+                local = filter_ids - cs                        # [B, F]
+                in_blk = ((filter_ids >= start) & (local < block)
+                          & (filter_mask > 0))
+            else:
+                ids = start + jnp.arange(block)
+                ids_c = jnp.minimum(ids, n_ent - 1)
+                cand = gather_rows(state.entity, ids_c,
+                                   dim=self.entity_dim, sorted_ids=True)
+                valid = ids < n_ent
+                local = filter_ids - start                     # [B, F]
+                in_blk = ((local >= 0) & (local < block)
+                          & (filter_mask > 0))
             return self._block_ge_counts(pos, side, rel_rows, proj_rows,
                                          cand, valid, local, in_blk,
                                          neg_head=neg_head)
@@ -1187,16 +1205,21 @@ class KEModel:
                 offset = jax.lax.axis_index(axis) * rows
 
                 def score_block(start):
-                    ids_l = start + jnp.arange(block)
-                    cand = emb_l[jnp.minimum(ids_l, rows - 1)][..., :ent_dim]
-                    gids = offset + ids_l
-                    valid = (gids < n_ent) & (ids_l < rows)
-                    # the (start + local < rows) term excludes filter ids
-                    # whose row lives in the NEXT shard but whose column
-                    # here is a clamped duplicate
-                    local = fid - (offset + start)
-                    in_blk = ((local >= 0) & (local < block)
-                              & ((start + local) < rows) & (fm > 0))
+                    # contiguous candidate block: a true dynamic_slice
+                    # (one sequential HBM read) instead of a 16k-row
+                    # gather; the tail block's clamped start re-covers
+                    # rows earlier blocks scored, so those columns are
+                    # masked from BOTH counts (lrow >= start)
+                    cs = jnp.minimum(start, rows - block)
+                    cand = jax.lax.dynamic_slice_in_dim(
+                        emb_l, cs, block)[..., :ent_dim]
+                    gids_l = cs + jnp.arange(block)
+                    valid = ((gids_l >= start)
+                             & (offset + gids_l < n_ent))
+                    lrow = fid - offset        # filter row on THIS shard
+                    local = lrow - cs          # its column in cand
+                    in_blk = ((lrow >= start) & (local < block)
+                              & (fm > 0))
                     return self._block_ge_counts(
                         pos, side, rel_rows, proj_rows, cand, valid,
                         local, in_blk, neg_head=neg_head)

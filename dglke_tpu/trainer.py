@@ -760,28 +760,38 @@ def _mega_eval(mega_fn, state, batches, G):
         cap = max(G, _MEGA_BUDGET // per_batch // G * G)
         for c0 in range(0, len(idxs), cap):
             chunk = idxs[c0:c0 + cap]
-            # when the bucket spans several chunks, pad the tail chunk up
-            # to the cap so every chunk shares ONE (M, F) jit shape —
-            # otherwise the tail compiles a second program, and a compile
-            # costs minutes on the tunneled TPU (results are trimmed
-            # per-batch below, so padding is free except for the compute)
-            m = cap // G if len(idxs) > cap else -(-len(chunk) // G)
+            if len(idxs) > cap:
+                # bucket spans several chunks: pad the tail up to the cap
+                # so every chunk shares ONE (M, G, F) jit shape — the
+                # padding is amortized over many full chunks, and a
+                # second compile costs minutes on the tunneled TPU
+                g, m = G, cap // G
+            else:
+                # single-chunk bucket: shrink the group width onto a pow2
+                # ladder instead of padding up to G.  Padding a small
+                # split to a full [1, G] call repeats real batches up to
+                # Gx — the r4 12M-entity eval (8 groups/direction padded
+                # to 32) burned 4x its compute on duplicates, and a
+                # 1-batch valid split burned 32x.  The ladder bounds both
+                # the waste (<2x) and the shape count (<= 6 per F).
+                g = min(G, 1 << max(0, len(chunk) - 1).bit_length())
+                m = -(-len(chunk) // g)
             sel = np.concatenate(
-                [chunk, np.repeat(chunk[:1], m * G - len(chunk))])
-            hs = np.stack([batches[i]["h"] for i in sel]).reshape(m, G, B)
-            rs = np.stack([batches[i]["r"] for i in sel]).reshape(m, G, B)
-            ts = np.stack([batches[i]["t"] for i in sel]).reshape(m, G, B)
+                [chunk, np.repeat(chunk[:1], m * g - len(chunk))])
+            hs = np.stack([batches[i]["h"] for i in sel]).reshape(m, g, B)
+            rs = np.stack([batches[i]["r"] for i in sel]).reshape(m, g, B)
+            ts = np.stack([batches[i]["t"] for i in sel]).reshape(m, g, B)
             if filtered:
                 fid = np.stack([batches[i]["filter_ids"] for i in sel]
-                               ).reshape(m, G, B, f)
+                               ).reshape(m, g, B, f)
                 fm = np.stack([batches[i]["filter_mask"] for i in sel]
-                              ).reshape(m, G, B, f)
+                              ).reshape(m, g, B, f)
             else:
-                fid = jnp.zeros((m, G, B, 8), jnp.int32)
-                fm = jnp.zeros((m, G, B, 8), jnp.uint8)
+                fid = jnp.zeros((m, g, B, 8), jnp.int32)
+                fm = jnp.zeros((m, g, B, 8), jnp.uint8)
             ranks = np.asarray(
                 mega_fn(state, hs, rs, ts, fid, fm, neg_head)
-            ).reshape(m * G, B)
+            ).reshape(m * g, B)
             for j, i in enumerate(chunk):
                 out[i] = ranks[j][: batches[i]["n_valid"]]
     return out

@@ -38,43 +38,114 @@ def _atomic_save(path: str, arr: np.ndarray) -> None:
     os.replace(tmp, path)
 
 
+_STREAM_THRESHOLD = 256 << 20   # tables above this stream chunkwise
+_STREAM_CHUNK = 64 << 20        # device->host fetch granularity (bytes)
+_STREAM_WORKERS = 4             # concurrent in-flight fetches
+
+
+def _atomic_save_rows(path: str, get_chunk, n_rows: int, row_shape,
+                      dtype=np.float32) -> None:
+    """Stream an [n_rows, *row_shape] array into an npy file from a
+    row-chunk fetcher, atomically (same tmp+replace contract as
+    _atomic_save).
+
+    Big-table checkpoint saves are bottlenecked by the device->host
+    fetch, not the disk write (the r4 12M-entity record burned 376 s+
+    per 6.1 GB save fetching the whole table in one blocking
+    device_get).  Chunked fetches through a small thread pool (a) keep a
+    bounded number of transfers in flight so a multiplexing link
+    overlaps them, (b) overlap the fetch with the file write, and
+    (c) never hold more than workers x chunk bytes of staging memory —
+    the monolithic path held TWO table-size host copies (device_get
+    result + astype copy)."""
+    import concurrent.futures as cf
+
+    dtype = np.dtype(dtype)
+    row_bytes = int(np.prod(row_shape, dtype=np.int64)) * dtype.itemsize \
+        if row_shape else dtype.itemsize
+    chunk_rows = max(1, _STREAM_CHUNK // max(row_bytes, 1))
+    starts = list(range(0, n_rows, chunk_rows))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.lib.format.write_array_header_2_0(
+            f, {"descr": np.lib.format.dtype_to_descr(dtype),
+                "fortran_order": False,
+                "shape": (n_rows,) + tuple(row_shape)})
+        with cf.ThreadPoolExecutor(_STREAM_WORKERS) as ex:
+            pending = []
+            for s in starts:
+                pending.append(ex.submit(get_chunk, s,
+                                         min(s + chunk_rows, n_rows)))
+                # sliding window: write the oldest chunk once the pool
+                # is saturated, keeping fetch-ahead (and host staging)
+                # bounded while later fetches proceed concurrently
+                while len(pending) > _STREAM_WORKERS:
+                    f.write(np.ascontiguousarray(
+                        pending.pop(0).result(), dtype=dtype).tobytes())
+            for fut in pending:
+                f.write(np.ascontiguousarray(
+                    fut.result(), dtype=dtype).tobytes())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _save_table(path: str, emb, n_rows: int, dim: int) -> None:
+    """Persist a (possibly padded, possibly bf16, possibly on-device)
+    embedding table as the fp32 npy artifact, streaming when big.
+
+    The device->host wire carries the table's STORED dtype (bf16 tables
+    transfer at 2 bytes/elem; the fp32 upcast happens on host), and the
+    row/lane padding is sliced off ON DEVICE so padded bytes never cross
+    the link."""
+    nbytes = int(n_rows) * int(dim) * 4
+    if not isinstance(emb, jax.Array) or nbytes < _STREAM_THRESHOLD:
+        arr = np.asarray(jax.device_get(emb))[:n_rows, :dim]
+        _atomic_save(path, arr.astype(np.float32, copy=False))
+        return
+
+    def get_chunk(a, b):
+        return np.asarray(emb[a:b, :dim]).astype(np.float32, copy=False)
+
+    _atomic_save_rows(path, get_chunk, n_rows, (dim,), np.float32)
+
+
 def save_model(config: KGEConfig, model: KEModel, state: TrainState,
                save_path: Optional[str] = None, emap_file=None,
                rmap_file=None, save_opt_state: bool = True) -> str:
     path = save_path or config.save_path
     os.makedirs(path, exist_ok=True)
     prefix = f"{config.dataset}_{config.model_name}_"
-    state = jax.device_get(state)
     # vocab-sharded tables carry mesh-padding rows and Pallas-path tables
     # carry lane-padding columns; never persist either.  bf16-stored tables
     # are upcast: the npy artifact contract (and the reference's tooling)
-    # is fp32.
-    ent_emb = np.asarray(state.entity.emb)[:model.n_entities,
-                                           :model.entity_dim]
-    ent_ss = np.asarray(state.entity.state_sum)[:model.n_entities]
-    _atomic_save(os.path.join(path, prefix + "entity.npy"),
-                 ent_emb.astype(np.float32))
-    _atomic_save(os.path.join(path, prefix + "relation.npy"),
-                 np.asarray(state.relation.emb)[:, :model.relation_dim]
-                 .astype(np.float32))
+    # is fp32.  Big tables stream chunkwise (_save_table) — the
+    # monolithic device_get of the whole state cost 376 s+ per 6.1 GB
+    # save over the tunneled link and held two table-size host copies.
+    _save_table(os.path.join(path, prefix + "entity.npy"),
+                state.entity.emb, model.n_entities, model.entity_dim)
+    _save_table(os.path.join(path, prefix + "relation.npy"),
+                state.relation.emb, model.n_relations, model.relation_dim)
     if state.projection is not None:
         # the reference spells this WITHOUT the separating underscore
         # (TransRScore.save: name + 'projection', score_fun.py:179-180);
         # match it so reference tooling can read our TransR checkpoints
-        _atomic_save(os.path.join(path, prefix[:-1] + "projection.npy"),
-                     np.asarray(state.projection.emb)[:, :model.proj_dim]
-                     .astype(np.float32))
+        _save_table(os.path.join(path, prefix[:-1] + "projection.npy"),
+                    state.projection.emb,
+                    int(state.projection.emb.shape[0]), model.proj_dim)
     if save_opt_state:
+        ent_ss = np.asarray(
+            jax.device_get(state.entity.state_sum))[:model.n_entities]
         _atomic_save(os.path.join(path, prefix + "entity_state.npy"),
                      ent_ss)
         _atomic_save(os.path.join(path, prefix + "relation_state.npy"),
-                     np.asarray(state.relation.state_sum))
+                     np.asarray(jax.device_get(state.relation.state_sum)))
         if state.projection is not None:
-            _atomic_save(os.path.join(path,
-                                      prefix + "projection_state.npy"),
-                         np.asarray(state.projection.state_sum))
+            _atomic_save(
+                os.path.join(path, prefix + "projection_state.npy"),
+                np.asarray(jax.device_get(state.projection.state_sum)))
         _atomic_save(os.path.join(path, prefix + "step.npy"),
-                     np.asarray(state.step))
+                     np.asarray(jax.device_get(state.step)))
     config.save(path, emap_file, rmap_file)
     return path
 

@@ -86,6 +86,35 @@ def test_checkpoint_roundtrip(tiny_ds, tmp_path):
     assert abs(m2["MRR"] - metrics["MRR"]) < 1e-6
 
 
+@pytest.mark.parametrize("emb_dtype", ["float32", "bfloat16"])
+def test_streamed_big_table_save_roundtrip(tiny_ds, tmp_path, monkeypatch,
+                                           emb_dtype):
+    """The chunked streaming save (utils.io._atomic_save_rows — the
+    big-table path that fixes the r4 12M record's 376 s+ checkpoint
+    stall) writes byte-identical npy artifacts: force it by dropping the
+    threshold, save, and compare against the monolithic path."""
+    from dglke_tpu.utils import io as io_mod
+    from dglke_tpu.utils.io import load_model_state, save_model
+
+    cfg = small_config(max_step=50, emb_dtype=emb_dtype,
+                       save_path=str(tmp_path / "ckpt"))
+    model, state, _, _ = _run(cfg, tiny_ds)
+    ref_path = save_model(cfg, model, state,
+                          save_path=str(tmp_path / "mono"))
+    monkeypatch.setattr(io_mod, "_STREAM_THRESHOLD", 1)
+    monkeypatch.setattr(io_mod, "_STREAM_CHUNK", 4096)  # many chunks
+    st_path = save_model(cfg, model, state,
+                         save_path=str(tmp_path / "streamed"))
+    for name in ("entity", "relation"):
+        a = np.load(f"{ref_path}/{cfg.dataset}_{cfg.model_name}_{name}.npy")
+        b = np.load(f"{st_path}/{cfg.dataset}_{cfg.model_name}_{name}.npy")
+        assert a.dtype == b.dtype == np.float32
+        np.testing.assert_array_equal(a, b)
+    state2 = load_model_state(cfg, model, st_path)
+    np.testing.assert_array_equal(np.asarray(state.entity.emb),
+                                  np.asarray(state2.entity.emb))
+
+
 @pytest.mark.parametrize("table_sharding", ["replicated", "vocab"])
 def test_multi_device_spmd(tiny_ds, table_sharding):
     assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"

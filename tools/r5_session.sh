@@ -1,0 +1,57 @@
+#!/bin/bash
+# Round-5 TPU capture session: run every outstanding measurement in one
+# healthy window, idempotently (each step skips itself once its artifact
+# exists).  Exits 0 only when ALL artifacts are present, 5 otherwise —
+# so a supervisor keeps hunting windows:
+#   nohup bash -c 'while ! bash tools/tpu_hunt.sh 3000 bash \
+#     tools/r5_session.sh; do sleep 45; done' &
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+T=tools
+MISSING=0
+
+# 1. SimplE at-scale quality, recalibrated to 262144 steps (the last
+#    red fragment is preserved as session_r4_quality_SimplE_131k_red)
+if ! [ -s "$T/session_r4_quality_SimplE.json" ]; then
+  timeout -k 10 900 python $T/capture_r4.py quality_SimplE \
+    >> $T/tpu_session.log 2>&1 || MISSING=1
+  [ -s "$T/session_r4_quality_SimplE.json" ] || MISSING=1
+fi
+
+# 2. big-vocab eval decomposition (the 7.6 edges/s mystery)
+if ! [ -s "$T/session_r5_diag_bigvocab_eval.json" ]; then
+  timeout -k 10 900 python $T/diag_bigvocab_eval.py \
+    >> $T/tpu_session.log 2>&1 || MISSING=1
+fi
+
+# 3. streamed checkpoint save vs monolithic (6.1 GB d2h)
+if ! [ -s "$T/session_r5_diag_ckpt_save.json" ]; then
+  timeout -k 10 1200 python $T/diag_ckpt_save.py \
+    >> $T/tpu_session.log 2>&1 || MISSING=1
+fi
+
+# 4. post-fix 12M filtered eval (group ladder + slice candidates);
+#    the completed-record eval is preserved first
+if ! [ -s "$T/session_r5_fb12m_eval_postfix.json" ]; then
+  [ -s "$T/session_r4_fb12m_eval_r4final.json" ] || \
+    cp "$T/session_r4_fb12m_eval.json" \
+       "$T/session_r4_fb12m_eval_r4final.json" 2>/dev/null
+  timeout -k 10 1800 python $T/capture_r4.py fb12m_eval \
+    >> $T/tpu_session.log 2>&1 \
+    && cp "$T/session_r4_fb12m_eval.json" \
+          "$T/session_r5_fb12m_eval_postfix.json" || MISSING=1
+fi
+
+# 5. headline bench with the degraded-window guard
+if ! [ -s "$T/session_r5_bench.json" ]; then
+  timeout -k 10 1800 python bench.py > /tmp/r5_bench_out.json \
+    2>> $T/tpu_session.log \
+    && tail -1 /tmp/r5_bench_out.json > "$T/session_r5_bench.json" \
+    || MISSING=1
+  cat "$T/session_r5_bench.json" >> $T/tpu_session.log 2>/dev/null
+fi
+
+python $T/capture_r4.py merge >> $T/tpu_session.log 2>&1
+python $T/merge_r5.py >> $T/tpu_session.log 2>&1
+[ "$MISSING" -eq 0 ] && exit 0 || exit 5
