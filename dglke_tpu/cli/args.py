@@ -69,7 +69,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                    help="accepted for compatibility; devices come from "
                         "jax.devices()")
     p.add_argument("--mix_cpu_gpu", action="store_true",
-                   help="compatibility no-op: tables are HBM-resident")
+                   help="keep embedding tables in HOST memory and move "
+                        "only each batch's rows to the device (trains "
+                        "tables bigger than HBM on one chip; reference "
+                        "train.py:46-49)")
     p.add_argument("--valid", action="store_true")
     p.add_argument("--rel_part", action="store_true")
     p.add_argument("--async_update", action="store_true",
@@ -128,9 +131,9 @@ def warn_inert_flags(args: argparse.Namespace, log=print) -> None:
         log("NOTE: --force_sync_interval is a compatibility no-op — the "
             "SPMD step is synchronous by construction")
     if getattr(args, "mix_cpu_gpu", False):
-        log("NOTE: --mix_cpu_gpu is a compatibility no-op — tables are "
-            "HBM-resident (sharded over the mesh when --table_sharding "
-            "vocab)")
+        log("NOTE: --mix_cpu_gpu keeps tables in host memory (capacity = "
+            "host DRAM, throughput bounded by the host link); drop it "
+            "if the tables fit in HBM")
     if getattr(args, "num_thread", 1) > 1:
         log("NOTE: --num_thread is a compatibility no-op — host sampling "
             "is vectorized numpy / native C++")

@@ -65,6 +65,13 @@ def main(argv=None):
     import jax
     n_dev = len(jax.devices())
     plan = None
+    if cfg.mix_cpu_gpu:
+        # the checkpoint was trained with host-resident tables; evaluate
+        # the same way (the table may not fit in HBM)
+        from dglke_tpu.host_table import load_host_state
+        state = load_host_state(cfg, model, args.model_path)
+        evaluate(cfg, dataset, model, state, "test")
+        return 0
 
     def vocab_plan():
         nonlocal plan

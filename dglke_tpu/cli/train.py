@@ -86,7 +86,7 @@ def main(argv=None):
     import jax
     n_dev = len(jax.devices())
     plan = None
-    if n_dev > 1:
+    if n_dev > 1 and not cfg.mix_cpu_gpu:
         from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
         plan = ShardingPlan(make_mesh(n_dev),
                             table_sharding=args.table_sharding)
@@ -95,7 +95,12 @@ def main(argv=None):
 
     model = KEModel(cfg, dataset.n_entities, dataset.n_relations)
     state = None
-    if args.init_from:
+    if args.init_from and cfg.mix_cpu_gpu:
+        # host-table resume: straight from npy, no device round trip
+        from dglke_tpu.host_table import load_host_state
+        state = load_host_state(cfg, model, args.init_from)
+        print(f"Resumed from {args.init_from} at step {state.step}")
+    elif args.init_from:
         from dglke_tpu.utils.io import has_sharded, load_model_state, \
             load_sharded
         if has_sharded(args.init_from):

@@ -88,7 +88,8 @@ class KGEConfig:
     # 'replicated' keeps tables on every device (small vocab);
     # 'vocab' shards entity table rows over the mesh (large vocab).
     table_sharding: str = "replicated"
-    mix_cpu_gpu: bool = False  # accepted for config.json parity; unused on TPU
+    mix_cpu_gpu: bool = False  # host-resident tables (host_table.py):
+    # capacity = host DRAM instead of HBM, rows move per step
     async_update: bool = False  # defer entity updates one step (deterministic
     # equivalent of the reference's async_update process: the previous
     # batch's entity scatter overlaps this batch's gather; scored rows are

@@ -1,0 +1,334 @@
+"""Host-resident embedding tables: train/eval models BIGGER THAN HBM on
+one chip (the reference's --mix_cpu_gpu CPU-ExternalEmbedding mode,
+train.py:46-49 + tensor_models.py:304-362, which keeps entity tables in
+host DRAM and moves only the batch's rows to the accelerator).
+
+TPU-native shape of the same trade:
+
+  * tables live in host numpy (fp32) — capacity is host DRAM
+    (hundreds of GB on a TPU VM), not the chip's 16 GB HBM;
+  * the per-step device program is PURE and row-sized: the host gathers
+    the batch's [3B+CK, D] rows, one jit computes loss + row gradients
+    on the MXU (KEModel._rows_loss_and_grads — the SAME kernel the
+    HBM-resident path differentiates), and the host applies the sparse
+    Adagrad scatter with numpy;
+  * the host Adagrad reproduces the dedup-free ordering proof of
+    ops/embedding.py exactly (np.add.at accumulates every occurrence's
+    state increment BEFORE the std gather, like the reference's
+    index_add_ sequence);
+  * full-entity eval streams the table through the device in contiguous
+    blocks, scoring BOTH corruption directions per uploaded block so the
+    table crosses the host link once per eval pass.
+
+Per-step traffic is ~[3B+CK, D] rows each way (~7 MB at the FB15k
+shape) — PCIe-bound on a real TPU VM, which is the same envelope as the
+reference's CPU-GPU row pulls.  Checkpoints write through the standard
+fp32 npy contract (utils/io.py), so host-mode and HBM-mode checkpoints
+are interchangeable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dglke_tpu.config import KGEConfig
+from dglke_tpu.data.sampler import EvalSampler, FilterIndex, TrainSampler
+from dglke_tpu.models.ke_model import KEModel
+
+
+@dataclasses.dataclass
+class HostEmbedding:
+    """Mirror of ops.embedding.EmbeddingState with numpy storage (duck-
+    typed: utils.io.save_model persists it through the same npy path)."""
+    emb: np.ndarray         # [num, dim] fp32
+    state_sum: np.ndarray   # [num] fp32
+
+
+@dataclasses.dataclass
+class HostState:
+    entity: HostEmbedding
+    relation: HostEmbedding
+    projection: Optional[HostEmbedding]
+    step: int = 0
+    is_host = True          # trainer.evaluate dispatch marker
+
+
+def _init_table(rng: np.random.Generator, num: int, dim: int,
+                emb_init: float) -> HostEmbedding:
+    emb = rng.uniform(-emb_init, emb_init, (num, dim)).astype(np.float32)
+    return HostEmbedding(emb, np.zeros((num,), np.float32))
+
+
+def init_host_state(model: KEModel, seed: int = 0) -> HostState:
+    """Uniform(-emb_init, emb_init) init, zero Adagrad state (reference
+    tensor_models.py:240-248), drawn with numpy (tables never touch the
+    device, so the fused on-device init of ops.embedding does not apply)."""
+    rng = np.random.default_rng(seed)
+    cfg = model.config
+    ent = _init_table(rng, model.n_entities, model.entity_dim,
+                      cfg.emb_init)
+    rel = _init_table(rng, model.n_relations, model.relation_dim,
+                      cfg.emb_init)
+    proj = (_init_table(rng, model.n_relations,
+                        model.entity_dim * model.relation_dim, 1.0)
+            if model.is_transr else None)
+    return HostState(ent, rel, proj, 0)
+
+
+def load_host_state(config: KGEConfig, model: KEModel,
+                    path: str) -> HostState:
+    """Restore a HostState straight from the npy artifacts WITHOUT a
+    device round trip (load_model_state would device_put the table —
+    the very thing host mode exists to avoid)."""
+    import os
+    prefix = f"{config.dataset}_{config.model_name}_"
+
+    def load(name, fallback_rows):
+        fname = os.path.join(path, prefix + f"{name}.npy")
+        if name == "projection" and not os.path.exists(fname):
+            fname = os.path.join(path, prefix[:-1] + "projection.npy")
+        emb = np.ascontiguousarray(np.load(fname), dtype=np.float32)
+        sf = os.path.join(path, prefix + f"{name}_state.npy")
+        ss = (np.load(sf).astype(np.float32) if os.path.exists(sf)
+              else np.zeros((emb.shape[0],), np.float32))
+        return HostEmbedding(emb, ss)
+
+    import os.path as osp
+    ent = load("entity", model.n_entities)
+    rel = load("relation", model.n_relations)
+    proj = load("projection", model.n_relations) if model.is_transr else None
+    step_f = osp.join(path, prefix + "step.npy")
+    step = int(np.load(step_f)) if osp.exists(step_f) else 0
+    return HostState(ent, rel, proj, step)
+
+
+def host_adagrad_update(table: HostEmbedding, ids: np.ndarray,
+                        grads: np.ndarray, lr: float) -> None:
+    """In-place row-sparse Adagrad, same ordering as the device update
+    (ops/embedding.py sparse_adagrad_update): every occurrence's
+    mean(grad², axis=1) accumulates into state_sum FIRST (np.add.at is
+    an unbuffered accumulate, the numpy analogue of index_add_), the
+    per-occurrence std is read after, and the emb scatter-add sums over
+    occurrences — identical to a deduplicated segment-sum update."""
+    grads = np.asarray(grads, np.float32)
+    sq = np.mean(grads * grads, axis=1)
+    np.add.at(table.state_sum, ids, sq)
+    std = np.sqrt(table.state_sum[ids]) + 1e-10
+    np.add.at(table.emb, ids, (-lr) * grads / std[:, None])
+
+
+def train_host(config: KGEConfig, dataset, model: Optional[KEModel] = None,
+               state: Optional[HostState] = None,
+               valid_samplers=None, save_fn=None, log=print):
+    """Host-table training loop (reference mix_cpu_gpu trainer contract:
+    train_pytorch.py:268-403 with CPU-resident ExternalEmbedding).
+    Returns (model, state, time_info) like trainer.train."""
+    cfg = config
+    if model is None:
+        model = KEModel(cfg, dataset.n_entities, dataset.n_relations)
+    if state is None:
+        state = init_host_state(model, cfg.seed)
+    sampler = TrainSampler(dataset, cfg.batch_size, cfg.neg_sample_size,
+                           seed=cfg.seed)
+    neg_total = sampler.num_chunks * sampler.neg_sample_size
+    step_fn = model.make_host_rows_step(cfg.batch_size, neg_total)
+    b = cfg.batch_size
+    it = iter(sampler)
+
+    logs = []
+    start = time.time()
+    sample_time = update_time = 0.0
+    tic = time.time()
+    for step in range(1, cfg.max_step + 1):
+        t0 = time.time()
+        batch = next(it)
+        h, r, t = batch["h"], batch["r"], batch["t"]
+        ent_ids = np.concatenate([h, t, batch["neg"]])
+        ent_rows = state.entity.emb[ent_ids]
+        rel_rows = state.relation.emb[r]
+        proj_rows = (state.projection.emb[r] if model.is_transr else None)
+        impts = batch.get("impts")
+        sample_time += time.time() - t0
+
+        t0 = time.time()
+        log_dict, grads = step_fn(ent_rows, rel_rows, proj_rows, impts,
+                                  batch["neg_head"])
+        g_ent, g_rel, g_proj = grads
+        g_ent = np.asarray(g_ent)       # d2h fence + host copy
+        g_rel = np.asarray(g_rel)
+        host_adagrad_update(state.entity, ent_ids, g_ent, cfg.lr)
+        host_adagrad_update(state.relation, r, g_rel, cfg.lr)
+        if model.is_transr:
+            host_adagrad_update(state.projection, r, np.asarray(g_proj),
+                                cfg.lr)
+        state.step = state.step + 1
+        update_time += time.time() - t0
+        logs.append(jax.device_get(log_dict))
+
+        if step % cfg.log_interval == 0:
+            for k in logs[0]:
+                v = float(np.mean([la[k] for la in logs]))
+                log(f"[proc 0][Train]({step}/{cfg.max_step}) "
+                    f"average {k}: {v}")
+            logs = []
+            log(f"[proc 0][Train] {cfg.log_interval} steps take "
+                f"{time.time() - tic:.3f} seconds")
+            log(f"[proc 0]sample: {sample_time:.3f}, update: "
+                f"{update_time:.3f}")
+            tic = time.time()
+            sample_time = update_time = 0.0
+        if (valid_samplers is not None and cfg.valid
+                and step % cfg.eval_interval == 0):
+            evaluate_host_with_samplers(model, state, valid_samplers,
+                                        phase="Valid", log=log)
+        if save_fn is not None and cfg.save_interval > 0 \
+                and step % cfg.save_interval == 0:
+            save_fn(state, step)
+
+    total = time.time() - start
+    log(f"[proc 0]training takes {total} seconds")
+    return model, state, {"train_s": total}
+
+
+def _host_pos_side_fn(model: KEModel):
+    """Jitted pos/side preamble over HOST-gathered rows (the row-level
+    form of KEModel._eval_pos_side)."""
+    def build():
+        sf = model.score_fn
+
+        def f(h_rows, t_rows, rel_rows, proj_rows, neg_head):
+            if model.is_transr:
+                h_use = sf.project(h_rows, proj_rows)
+                t_use = sf.project(t_rows, proj_rows)
+            else:
+                h_use, t_use = h_rows, t_rows
+            pos = sf.pos_score(h_use, rel_rows, t_use)
+            side = t_use if neg_head else h_use
+            return pos, side
+
+        return jax.jit(f, static_argnames=("neg_head",))
+
+    return model._memo("host_eval_pos_side", build)
+
+
+def _host_block_counts_fn(model: KEModel):
+    """Jitted GE-count kernel for one uploaded candidate block against
+    BOTH corruption directions' query rows (KEModel._block_ge_counts —
+    the same tie-exact kernel as the HBM paths)."""
+    def build():
+        def f(pos, side, rel_rows, proj_rows, cand, valid, local, in_blk,
+              neg_head):
+            return model._block_ge_counts(pos, side, rel_rows, proj_rows,
+                                          cand, valid, local, in_blk,
+                                          neg_head=neg_head)
+
+        return jax.jit(f, static_argnames=("neg_head",))
+
+    return model._memo("host_block_counts", build)
+
+
+def evaluate_host(config: KGEConfig, dataset, model: KEModel,
+                  state: HostState, split: str = "test",
+                  filter_index: Optional[FilterIndex] = None,
+                  log=print, phase: str = "Test") -> Dict[str, float]:
+    cfg = config
+    if cfg.eval_filter and filter_index is None:
+        filter_index = FilterIndex(dataset)
+    if cfg.neg_sample_size_eval and 0 < cfg.neg_sample_size_eval \
+            < dataset.n_entities:
+        raise NotImplementedError(
+            "host-table mode evaluates with the full-entity protocol; "
+            "drop --neg_sample_size_eval (sampled-negative eval needs "
+            "the table on device)")
+    samplers = [
+        EvalSampler(dataset, split, cfg.batch_size_eval, mode,
+                    filter_index if cfg.eval_filter else None,
+                    eval_percent=cfg.eval_percent, seed=cfg.seed)
+        for mode in ("head", "tail")
+    ]
+    return evaluate_host_with_samplers(model, state, samplers,
+                                       phase=phase, log=log)
+
+
+def evaluate_host_with_samplers(model: KEModel, state: HostState,
+                                samplers, phase: str = "Test",
+                                log=print) -> Dict[str, float]:
+    """Full-entity ranking with the table streamed from HOST memory.
+
+    All query batches of BOTH directions are collected first (their
+    pos/side rows are tiny); the entity table then crosses the host link
+    ONCE, in contiguous blocks, each block scored against every query
+    row of both directions (same _block_ge_counts kernel, so tie
+    handling matches the HBM paths bit for bit)."""
+    from dglke_tpu.models.ke_model import metrics_from_ranks
+
+    start = time.time()
+    pos_side = _host_pos_side_fn(model)
+    block_fn = _host_block_counts_fn(model)
+    n_ent = model.n_entities
+    dirs = []      # one entry per direction: queries + filters + counts
+    for sampler in samplers:
+        batches = list(sampler)
+        if not batches:
+            continue
+        neg_head = batches[0]["neg_head"]
+        h = np.concatenate([ba["h"] for ba in batches])
+        r = np.concatenate([ba["r"] for ba in batches])
+        t = np.concatenate([ba["t"] for ba in batches])
+        nv = np.concatenate([
+            np.arange(len(ba["h"])) < ba["n_valid"] for ba in batches])
+        if "filter_ids" in batches[0]:
+            fmax = max(ba["filter_ids"].shape[1] for ba in batches)
+            fid = np.zeros((len(h), fmax), np.int32)
+            fm = np.zeros((len(h), fmax), np.uint8)
+            o = 0
+            for ba in batches:
+                n, w = ba["filter_ids"].shape
+                fid[o:o + n, :w] = ba["filter_ids"]
+                fm[o:o + n, :w] = ba["filter_mask"]
+                o += n
+        else:
+            fid = np.zeros((len(h), 8), np.int32)
+            fm = np.zeros((len(h), 8), np.uint8)
+        ent_rows = state.entity.emb
+        h_rows = jnp.asarray(ent_rows[h])
+        t_rows = jnp.asarray(ent_rows[t])
+        rel_rows = jnp.asarray(state.relation.emb[r])
+        proj_rows = (jnp.asarray(state.projection.emb[r])
+                     if model.is_transr else None)
+        pos, side = pos_side(h_rows, t_rows, rel_rows, proj_rows, neg_head)
+        dirs.append(dict(neg_head=neg_head, pos=pos, side=side,
+                         rel=rel_rows, proj=proj_rows, fid=fid, fm=fm,
+                         nv=nv, counts=np.zeros((len(h),), np.int64)))
+    if not dirs:
+        raise ValueError("evaluation saw zero edges (empty split or "
+                         "eval_percent too small)")
+
+    block = model._eval_block_size(max(len(d["nv"]) for d in dirs))
+    block = min(block, n_ent)
+    for start_row in range(0, n_ent, block):
+        cs = min(start_row, n_ent - block)
+        cand = jnp.asarray(state.entity.emb[cs:cs + block])   # one upload
+        gids = cs + np.arange(block)
+        valid = jnp.asarray((gids >= start_row) & (gids < n_ent))
+        for d in dirs:
+            local = d["fid"] - cs
+            in_blk = (d["fid"] >= start_row) & (local < block) & (d["fm"] > 0)
+            c = block_fn(d["pos"], d["side"], d["rel"], d["proj"], cand,
+                         valid, jnp.asarray(local), jnp.asarray(in_blk),
+                         d["neg_head"])
+            d["counts"] += np.asarray(c, np.int64)
+
+    all_ranks = np.concatenate(
+        [(np.maximum(d["counts"], 0) + 1)[d["nv"]] for d in dirs])
+    metrics = metrics_from_ranks(all_ranks)
+    for k, v in metrics.items():
+        log(f"[0]{phase} average {k}: {v}")
+    log(f"[0]{phase} takes {time.time() - start:.3f} seconds")
+    return metrics

@@ -213,11 +213,6 @@ class KEModel:
                 num_chunks=num_chunks, chunk_size=chunk_size,
                 neg_sample_size=neg_sample_size)
 
-        # bfloat16 scoring (optional): gathered rows are cast before the
-        # score kernels so matmuls take the fast MXU path; the loss, softmax
-        # and gradients accumulate in fp32 (preferred_element_type) and the
-        # Adagrad update stays fp32.
-        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         # ONE entity gather for [h | t | neg]: a third of the row-DMA
         # launches, and the gradient comes back as the single [3B+CK, D]
         # array the sparse Adagrad update consumes directly.
@@ -231,6 +226,26 @@ class KEModel:
         proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim,
                                  dtype=jnp.float32)
                      if self.is_transr else None)
+        loss, log, grads = self._rows_loss_and_grads(
+            ent_rows, rel_rows, proj_rows, impts, b=b,
+            num_chunks=num_chunks, chunk_size=chunk_size,
+            neg_sample_size=neg_sample_size, neg_head=neg_head)
+        return loss, log, (ent_ids,) + grads
+
+    def _rows_loss_and_grads(self, ent_rows, rel_rows, proj_rows, impts, *,
+                             b: int, num_chunks: int, chunk_size: int,
+                             neg_sample_size: int, neg_head: bool):
+        """Loss + gradients w.r.t. already-GATHERED rows (the row-level
+        core of loss_and_grads, shared with the host-resident-table mode
+        where the gather/scatter happen on the host — see
+        ops/host_embedding.py).  Returns (loss, log, (ent_grads [3B+CK,D],
+        rel_grads, proj_grads_or_None))."""
+        cfg = self.config
+        # bfloat16 scoring (optional): gathered rows are cast before the
+        # score kernels so matmuls take the fast MXU path; the loss, softmax
+        # and gradients accumulate in fp32 (preferred_element_type) and the
+        # Adagrad update stays fp32.
+        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
         def loss_fn(ent_rows, rel_rows, proj_rows):
             h_rows, t_rows = ent_rows[:b], ent_rows[b:2 * b]
@@ -275,7 +290,7 @@ class KEModel:
         (loss, log), grads = grad_fn(ent_rows, rel_rows, proj_rows)
         if not self.is_transr:
             grads = grads + (None,)
-        return loss, log, (ent_ids,) + grads
+        return loss, log, grads
 
     def _rescal_loss_and_grads_factored(self, state: TrainState, h, r, t,
                                         neg, impts, *, neg_head: bool,
@@ -446,6 +461,31 @@ class KEModel:
                            donate_argnums=(0,) if donate else ())
 
         return self._memo(("train_step", donate), build)
+
+    def make_host_rows_step(self, batch_size: int, neg_total: int):
+        """Jitted row-level step for HOST-RESIDENT tables (the reference's
+        --mix_cpu_gpu / CPU ExternalEmbedding mode, train.py:46-49 +
+        tensor_models.py:304-362): the host gathers the batch's rows from
+        its numpy tables, the device computes loss + row gradients, and
+        the host applies the sparse Adagrad scatter.  The jit is PURE
+        (no table-sized state on device), so tables bigger than HBM
+        train on one chip at host-link speed.  Memoized."""
+        def build():
+            cfg = self.config
+            b = batch_size
+            num_chunks = max(1, neg_total // cfg.neg_sample_size)
+            nss = neg_total // num_chunks
+
+            def step(ent_rows, rel_rows, proj_rows, impts, neg_head):
+                loss, log, grads = self._rows_loss_and_grads(
+                    ent_rows, rel_rows, proj_rows, impts, b=b,
+                    num_chunks=num_chunks, chunk_size=b // num_chunks,
+                    neg_sample_size=nss, neg_head=neg_head)
+                return log, grads
+
+            return jax.jit(step, static_argnames=("neg_head",))
+
+        return self._memo(("host_rows_step", batch_size, neg_total), build)
 
     def make_train_step_packed(self, batch_size: int, donate: bool = True):
         """Packed-batch variant: ids arrive as ONE int32 array

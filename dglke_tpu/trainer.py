@@ -129,6 +129,17 @@ def train(config: KGEConfig, dataset: KGDataset,
     the reference's MXNET_PROFILER hook (train_mxnet.py:31-34)."""
     cfg = config
     model = model or KEModel(cfg, dataset.n_entities, dataset.n_relations)
+    if cfg.mix_cpu_gpu:
+        # host-resident tables (reference --mix_cpu_gpu, train.py:46-49):
+        # capacity = host DRAM, device program is pure and row-sized
+        from dglke_tpu.host_table import train_host
+        if plan is not None:
+            raise ValueError("--mix_cpu_gpu keeps tables on the host; it "
+                             "is incompatible with a device ShardingPlan "
+                             "(drop one of the two)")
+        return train_host(cfg, dataset, model=model, state=state,
+                          valid_samplers=valid_samplers, save_fn=save_fn,
+                          log=log)
     if state is None:
         state = model.init_state(jax.random.PRNGKey(cfg.seed))
         if plan is not None:
@@ -167,7 +178,8 @@ def train(config: KGEConfig, dataset: KGDataset,
     # multi-process, a plan to assemble the global batch.
     device_pipe_mode = (n_train_gate >= 2 * cfg.batch_size
                         and (plan is not None
-                             or jax.process_count() == 1))
+                             or jax.process_count() == 1)
+                        and not os.environ.get("DGLKE_TPU_FORCE_PACKED"))
     # In scanned modes, fuse steps_per_call steps into one device call;
     # align the fusion with logging/eval cadence.
     s = cfg.steps_per_call if (packed_mode or device_pipe_mode) else 1
@@ -362,6 +374,11 @@ def evaluate(config: KGEConfig, dataset: KGDataset, model: KEModel,
     head-corruption AND tail-corruption; metrics average over both
     (train_pytorch.py:199-253)."""
     cfg = config
+    if getattr(state, "is_host", False):
+        from dglke_tpu.host_table import evaluate_host
+        return evaluate_host(cfg, dataset, model, state, split,
+                             filter_index=filter_index, log=log,
+                             phase=phase)
     if cfg.eval_filter and filter_index is None:
         if getattr(dataset, "train_partitioned", False):
             raise ValueError(
