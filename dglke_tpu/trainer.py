@@ -514,8 +514,13 @@ class DevicePipeline:
             with_impts=self.impts is not None)
         # rbg keys use the TPU's hardware RngBitGenerator: orders of
         # magnitude cheaper per scan iteration than threefry for the
-        # per-step negative draws.
+        # per-step negative draws.  DGLKE_TPU_PIPELINE_THREEFRY=1 forces
+        # the threefry stream instead (diagnostic knob: rbg's fold_in /
+        # split derivations are backend-dependent and statistically
+        # weaker than threefry's).
         try:
+            if os.environ.get("DGLKE_TPU_PIPELINE_THREEFRY"):
+                raise ValueError("threefry forced")
             key = jax.random.key(seed, impl="rbg")
         except Exception:
             key = jax.random.PRNGKey(seed)

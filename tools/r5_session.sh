@@ -19,6 +19,16 @@ if ! [ -s "$T/session_r4_quality_SimplE.json" ]; then
   [ -s "$T/session_r4_quality_SimplE.json" ] || MISSING=1
 fi
 
+# 1b-1d. SimplE path A/B: why did pipeline@262k go red (0.4971) when
+#        packed@131k measured 0.8328?  Three discriminating runs.
+for AB in "packed 262144" "pipeline_threefry 262144" "pipeline 131072"; do
+  set -- $AB
+  if ! [ -s "$T/session_r5_simple_$1_$2.json" ]; then
+    timeout -k 10 900 python $T/diag_simple_path.py "$1" "$2" \
+      >> $T/tpu_session.log 2>&1 || MISSING=1
+  fi
+done
+
 # 2. big-vocab eval decomposition (the 7.6 edges/s mystery)
 if ! [ -s "$T/session_r5_diag_bigvocab_eval.json" ]; then
   timeout -k 10 900 python $T/diag_bigvocab_eval.py \
