@@ -49,6 +49,36 @@ def _rescal_fused_enabled() -> bool:
     return os.environ.get("DGLKE_TPU_RESCAL_FUSED", "") in ("1", "true")
 
 
+def _pipeline_rng_mode() -> str:
+    """Per-step negative-key schedule of the device pipelines.
+
+    "hybrid" (default): the per-step KEY WORDS are derived by a threefry
+    stream (sound split/fold_in) and wrapped as rbg keys, so bulk bit
+    generation keeps the TPU's hardware RngBitGenerator.  Deriving the
+    per-step keys with rbg's OWN fold_in/split measurably correlates the
+    negative streams across steps — a quarter-scale SimplE A/B degraded
+    from MRR 0.998 (threefry) to 0.9745 (rbg) at 32k steps with
+    everything else identical, and the at-scale 262k capture collapsed
+    to 0.497 (tools/diag_simple_path.py; preserved red fragments).
+    DGLKE_TPU_PIPELINE_THREEFRY=1 selects pure threefry end to end.
+    """
+    if os.environ.get("DGLKE_TPU_PIPELINE_THREEFRY"):
+        return "threefry"
+    return "hybrid"
+
+
+def _pipeline_step_keys(base_key, call_idx, s: int):
+    """[s//2, 2] per-step negative-draw keys (see _pipeline_rng_mode)."""
+    key = jax.random.fold_in(base_key, call_idx)      # threefry: sound
+    if _pipeline_rng_mode() == "hybrid":
+        try:
+            kd = jax.random.bits(key, (s // 2, 2, 4), jnp.uint32)
+            return jax.random.wrap_key_data(kd, impl="rbg")
+        except Exception:  # backend without rbg support
+            pass
+    return jax.random.split(key, (s // 2, 2))
+
+
 def _update_relation(rel: EmbeddingState, r, g_r, lr: float,
                      cfg: KGEConfig) -> EmbeddingState:
     """Dispatch the relation-table update: factored ("outer", a, v)
@@ -572,7 +602,8 @@ class KEModel:
         # plans are long-lived, so id(plan) is a stable key component
         return self._memo(
             ("device_pipeline_step", n_edges, batch_size, neg_total,
-             steps_per_call, donate, id(plan), with_impts),
+             steps_per_call, donate, id(plan), with_impts,
+             _pipeline_rng_mode()),
             lambda: self._build_device_pipeline_step(
                 n_edges, batch_size, neg_total, steps_per_call,
                 donate=donate, plan=plan, with_impts=with_impts))
@@ -616,7 +647,6 @@ class KEModel:
             if refresh_next:
                 ekey = jax.random.fold_in(base_key, epoch + 1)
                 nxt = jax.random.permutation(ekey, n_edges).astype(jnp.int32)
-            key = jax.random.fold_in(base_key, call_idx)
             # One dynamic_slice over [cur | nxt]: straddling reads continue
             # into the next epoch's permutation.  The concat is one
             # bandwidth pass (amortized over s steps); an elementwise
@@ -624,7 +654,7 @@ class KEModel:
             both = jnp.concatenate([cur, nxt])
             idx = jax.lax.dynamic_slice(both, (pos,), (s * b,))
             idx = idx.reshape(s // 2, 2, b)
-            keys = jax.random.split(key, (s // 2, 2))
+            keys = _pipeline_step_keys(base_key, call_idx, s)
 
             def one(st, pend, row_idx, k, neg_head):
                 h = triples[0, row_idx]
@@ -679,7 +709,7 @@ class KEModel:
         return self._memo(
             ("device_pipeline_step_mh", n_edges, batch_size, neg_total,
              steps_per_call, id(plan), nproc, local, key_impl,
-             with_impts, donate),
+             with_impts, donate, _pipeline_rng_mode()),
             lambda: self._build_device_pipeline_step_multihost(
                 n_edges, batch_size, neg_total, steps_per_call, plan,
                 nproc, local, key_impl=key_impl,
@@ -748,7 +778,6 @@ class KEModel:
                 nxt = cst(jax.vmap(
                     lambda k: jax.random.permutation(k, n_edges)
                 )(ekeys).astype(jnp.int32), dp_rows)
-            key = jax.random.fold_in(base_key, call_idx)
             both = jnp.concatenate([cur, nxt], axis=1)      # [ndev, 2E]
             # per-device permutation columns: straddling positions read
             # into the next epoch's plane, exactly like the single-host
@@ -761,7 +790,7 @@ class KEModel:
                                       axis=1)               # local gather
             idx = cst(idx, dp_rows).reshape(ndev, s, bl)
             idx = jnp.moveaxis(idx, 1, 0).reshape(s // 2, 2, ndev, bl)
-            keys = jax.random.split(key, (s // 2, 2))
+            keys = _pipeline_step_keys(base_key, call_idx, s)
 
             def gather_batch(idx_step):  # [ndev, bl] -> global [nproc*b]
                 cols3 = []

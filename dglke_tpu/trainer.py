@@ -512,18 +512,13 @@ class DevicePipeline:
         self.step_fn = model.make_device_pipeline_step(
             self.n_edges, batch_size, neg_total, steps_per_call, plan=plan,
             with_impts=self.impts is not None)
-        # rbg keys use the TPU's hardware RngBitGenerator: orders of
-        # magnitude cheaper per scan iteration than threefry for the
-        # per-step negative draws.  DGLKE_TPU_PIPELINE_THREEFRY=1 forces
-        # the threefry stream instead (diagnostic knob: rbg's fold_in /
-        # split derivations are backend-dependent and statistically
-        # weaker than threefry's).
-        try:
-            if os.environ.get("DGLKE_TPU_PIPELINE_THREEFRY"):
-                raise ValueError("threefry forced")
-            key = jax.random.key(seed, impl="rbg")
-        except Exception:
-            key = jax.random.PRNGKey(seed)
+        # The base key is ALWAYS threefry: per-step negative keys derive
+        # from it with sound split/fold_in, and the draws themselves ride
+        # the hardware RngBitGenerator via the hybrid schedule
+        # (ke_model._pipeline_rng_mode — deriving per-step keys with
+        # rbg's own fold_in correlated the negative streams and degraded
+        # SimplE at scale; see the preserved red fragments).
+        key = jax.random.PRNGKey(seed)
         if self._rep is not None:
             self.base_key = jax.device_put(key, self._rep)
         else:
@@ -591,12 +586,10 @@ class DevicePipeline:
         assert n_edges >= self.s * self.b, (
             "device pipeline needs every host's (padded) partition >= "
             "steps_per_call * batch_size; lower steps_per_call")
-        try:
-            key = jax.random.key(seed, impl="rbg")
-            impl = "rbg"
-        except Exception:
-            key = jax.random.key(seed)
-            impl = None
+        # threefry base key (sound derivations; per-step draw keys follow
+        # ke_model._pipeline_rng_mode — same rationale as single-host)
+        key = jax.random.key(seed)
+        impl = None
         # raw key DATA: a typed process-local key cannot enter a
         # global-mesh jit; the step fn re-wraps it (same impl)
         self.base_key = np.asarray(jax.random.key_data(key))

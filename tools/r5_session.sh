@@ -11,23 +11,23 @@ export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 T=tools
 MISSING=0
 
-# 1. SimplE at-scale quality, recalibrated to 262144 steps (the last
-#    red fragment is preserved as session_r4_quality_SimplE_131k_red)
-if ! [ -s "$T/session_r4_quality_SimplE.json" ]; then
+# 1. SimplE at-scale recipe sweep: lr 0.1 COLLAPSES past ~131k steps on
+#    BOTH paths (packed 0.2213 @ 262k, session_r5_simple_packed_262144)
+#    — probe the stable (lr, reg) region; the green recipe becomes the
+#    staged QUALITY_CASES config and the official capture re-runs.
+timeout -k 10 1800 python $T/diag_simple_sweep.py \
+  >> $T/tpu_session.log 2>&1 || MISSING=1
+
+# 1b. official SimplE capture — only once the recipe is re-staged
+#     (capture_r4.py QUALITY_CASES updated after the sweep) AND the
+#     sweep marker says go
+if [ -f "$T/.simple_recipe_staged" ] \
+   && ! [ -s "$T/session_r4_quality_SimplE.json" ]; then
   timeout -k 10 900 python $T/capture_r4.py quality_SimplE \
     >> $T/tpu_session.log 2>&1 || MISSING=1
   [ -s "$T/session_r4_quality_SimplE.json" ] || MISSING=1
 fi
-
-# 1b-1d. SimplE path A/B: why did pipeline@262k go red (0.4971) when
-#        packed@131k measured 0.8328?  Three discriminating runs.
-for AB in "packed 262144" "pipeline_threefry 262144" "pipeline 131072"; do
-  set -- $AB
-  if ! [ -s "$T/session_r5_simple_$1_$2.json" ]; then
-    timeout -k 10 900 python $T/diag_simple_path.py "$1" "$2" \
-      >> $T/tpu_session.log 2>&1 || MISSING=1
-  fi
-done
+[ -s "$T/session_r4_quality_SimplE.json" ] || MISSING=1
 
 # 2. big-vocab eval decomposition (the 7.6 edges/s mystery)
 if ! [ -s "$T/session_r5_diag_bigvocab_eval.json" ]; then
