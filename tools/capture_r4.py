@@ -263,12 +263,13 @@ QUALITY_CASES = {
     "ComplEx": ("cycle", dict(gamma=6.0, lr=0.15,
                               neg_adversarial_sampling=False,
                               regularization_coef=2e-6)),
-    # SimplE is the slowest converger of the bilinear family at scale:
-    # lr 0.15 collapses (MRR 0.155); at lr 0.1 the at-scale trajectory is
-    # MRR 0.666 @ 65k steps -> 0.8328 @ 131k (both TPU-measured,
-    # tools/tpu_session.log 2026-08-21 07:11 / 09:19), converging but
-    # slowly — so 4x the family-standard steps (~200 s extra on TPU)
-    "SimplE": ("cycle", dict(gamma=6.0, lr=0.1, max_step=262144,
+    # SimplE is the most lr-sensitive family at scale: lr 0.15 collapses
+    # early (MRR 0.155), lr 0.1 peaks ~131k steps (0.8328) then
+    # COLLAPSES (packed 0.2213 / pipeline 0.497 @ 262k — preserved red
+    # fragments), reg 1e-5 collapses (0.1142).  The round-5 sweep
+    # (tools/diag_simple_sweep.py, TPU 2026-08-21) found the stable
+    # region: lr 0.07 @ 262144 steps -> MRR 1.0, lr 0.05 -> 0.999.
+    "SimplE": ("cycle", dict(gamma=6.0, lr=0.07, max_step=262144,
                              neg_adversarial_sampling=False,
                              regularization_coef=2e-6)),
     "RESCAL": ("cycle", dict(hidden_dim=200, gamma=6.0, lr=0.1,
