@@ -53,6 +53,13 @@ if ! [ -s "$T/session_r5_fb12m_eval_postfix.json" ]; then
           "$T/session_r5_fb12m_eval_postfix.json" || MISSING=1
 fi
 
+# 4b. phase-time the 12M eval (locate the ~380 s the kernel diag
+#     cannot see; warm-repeat call isolates compile vs execution)
+if ! [ -s "$T/session_r5_eval_phase.json" ]; then
+  timeout -k 10 1800 python $T/diag_eval_phase.py \
+    >> $T/tpu_session.log 2>&1 || MISSING=1
+fi
+
 # 5. headline bench with the degraded-window guard
 if ! [ -s "$T/session_r5_bench.json" ]; then
   timeout -k 10 1800 python bench.py > /tmp/r5_bench_out.json \
