@@ -402,7 +402,16 @@ def step_fb12m_eval():
 
     _enable_cache()
     ds, cfg, model = _fb12m_setup()
+    t0 = time.time()
     state = load_model_state(cfg, model, FB12M_CKPT)
+    # the 6.1 GB table upload is dispatched ASYNC by load_model_state;
+    # without this fence it completes inside the first eval device call
+    # and the "eval" number measures the tunnel upload (~20 MB/s -> 300+
+    # s), not ranking — which is exactly what happened to every prior
+    # fb12m_eval capture (7.6-10.4 edges/s while the warm kernel runs
+    # 1,780; tools/diag_bigvocab_eval.py vs session logs)
+    jax.block_until_ready(state.entity.emb)
+    load_s = time.time() - t0
     fi = FilterIndex(ds)
     t0 = time.time()
     m = evaluate(cfg, ds, model, state, "test", filter_index=fi,
@@ -414,7 +423,8 @@ def step_fb12m_eval():
         "MRR": round(m["MRR"], 4), "HITS@10": round(m["HITS@10"], 4),
         "gate_0.85": bool(m["MRR"] >= 0.85),
         "value": round(2 * len(ds.test[0]) / eval_s, 1),
-        "unit": "edges/s"})
+        "unit": "edges/s",
+        "state_upload_s": round(load_s, 1)})
 
 
 def step_fb12m_resume():
