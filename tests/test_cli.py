@@ -55,6 +55,40 @@ def test_train_cli(trained_ckpt):
     pass  # fixture does the work
 
 
+def test_train_eval_cli_mix_cpu_gpu(fake_data, tmp_path, capsys):
+    """--mix_cpu_gpu trains with host-resident tables through the full
+    CLI, writes the standard npy artifact, and dglke_tpu-eval adopts the
+    host path from the saved config (host_table.py)."""
+    from dglke_tpu.cli.eval import main as eval_main
+    from dglke_tpu.cli.train import main as train_main
+
+    save_root = str(tmp_path / "ckpts")
+    rc = train_main([
+        "--model_name", "TransE_l2", "--dataset", "fakekg",
+        "--data_path", fake_data, "--format", "raw_udd_hrt",
+        "--data_files", "train.txt", "valid.txt", "test.txt",
+        "--batch_size", "64", "--neg_sample_size", "16",
+        "--hidden_dim", "16", "--gamma", "5.0", "--lr", "0.3",
+        "--max_step", "200", "--log_interval", "100",
+        "--batch_size_eval", "8", "-adv", "--test", "--mix_cpu_gpu",
+        "--save_path", save_root,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Test average MRR" in out
+    ckpt = os.path.join(save_root, "TransE_l2_fakekg_0")
+    assert os.path.exists(
+        os.path.join(ckpt, "fakekg_TransE_l2_entity.npy"))
+    rc = eval_main([
+        "--dataset", "fakekg", "--data_path", fake_data,
+        "--format", "raw_udd_hrt",
+        "--data_files", "train.txt", "valid.txt", "test.txt",
+        "--model_path", ckpt,
+    ])
+    assert rc == 0
+    assert "Test average MRR" in capsys.readouterr().out
+
+
 def test_eval_cli(fake_data, trained_ckpt, capsys):
     from dglke_tpu.cli.eval import main as eval_main
     rc = eval_main([
