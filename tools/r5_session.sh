@@ -69,6 +69,17 @@ if ! [ -s "$T/session_r5_bench.json" ]; then
   cat "$T/session_r5_bench.json" >> $T/tpu_session.log 2>/dev/null
 fi
 
+# 6. headline bench WITH the hybrid rng keys (the session_r5_bench
+#    fragment predates the rng fix; sweep cross-window numbers hint at
+#    a possible ~20% pipeline cost — measure it properly)
+if ! [ -s "$T/session_r5_bench_hybrid.json" ]; then
+  timeout -k 10 1800 python bench.py > /tmp/r5_benchh_out.json \
+    2>> $T/tpu_session.log \
+    && tail -1 /tmp/r5_benchh_out.json > "$T/session_r5_bench_hybrid.json" \
+    || MISSING=1
+  cat "$T/session_r5_bench_hybrid.json" >> $T/tpu_session.log 2>/dev/null
+fi
+
 python $T/capture_r4.py merge >> $T/tpu_session.log 2>&1
 python $T/merge_r5.py >> $T/tpu_session.log 2>&1
 [ "$MISSING" -eq 0 ] && exit 0 || exit 5
