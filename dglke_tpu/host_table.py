@@ -267,7 +267,14 @@ def evaluate_host_with_samplers(model: KEModel, state: HostState,
     row of both directions (same _block_ge_counts kernel, so tie
     handling matches the HBM paths bit for bit)."""
     from dglke_tpu.models.ke_model import metrics_from_ranks
+    from dglke_tpu.trainer import CandidateEvalSampler
 
+    if any(isinstance(s, CandidateEvalSampler) for s in samplers):
+        raise NotImplementedError(
+            "host-table mode evaluates with the full-entity protocol; "
+            "candidate-list (wikikg90M-style) eval needs the table on "
+            "device — drop --mix_cpu_gpu for eval (checkpoints "
+            "interchange) or evaluate on a vocab-sharded mesh")
     start = time.time()
     pos_side = _host_pos_side_fn(model)
     block_fn = _host_block_counts_fn(model)
