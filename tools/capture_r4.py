@@ -417,13 +417,26 @@ def step_fb12m_eval():
     m = evaluate(cfg, ds, model, state, "test", filter_index=fi,
                  log=print)
     eval_s = time.time() - t0
+    # second pass: the first call carries the megastep jit compile —
+    # ~426 s on the tunneled remote compile service vs 0.5-0.7 s warm
+    # execution (tools/session_r5_eval_phase.json); the warm number is
+    # the steady-state eval rate (periodic valid evals, repeated tests)
+    t0 = time.time()
+    m2 = evaluate(cfg, ds, model, state, "test", filter_index=fi,
+                  log=lambda *a: None)
+    warm_s = time.time() - t0
+    assert abs(m2["MRR"] - m["MRR"]) < 1e-12
     _write("fb12m_eval", {
         "metric": "planted12m_filtered_eval", "n_entities": ds.n_entities,
         "n_eval_edges": 2 * len(ds.test[0]),
         "MRR": round(m["MRR"], 4), "HITS@10": round(m["HITS@10"], 4),
         "gate_0.85": bool(m["MRR"] >= 0.85),
-        "value": round(2 * len(ds.test[0]) / eval_s, 1),
-        "unit": "edges/s",
+        "value": round(2 * len(ds.test[0]) / warm_s, 1),
+        "unit": "edges/s (warm; first-pass value below includes the "
+                "one-time jit compile)",
+        "first_pass_edges_per_s": round(2 * len(ds.test[0]) / eval_s, 1),
+        "first_pass_s": round(eval_s, 1),
+        "warm_s": round(warm_s, 1),
         "state_upload_s": round(load_s, 1)})
 
 
