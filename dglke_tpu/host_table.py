@@ -240,16 +240,12 @@ def evaluate_host(config: KGEConfig, dataset, model: KEModel,
     cfg = config
     if cfg.eval_filter and filter_index is None:
         filter_index = FilterIndex(dataset)
-    if cfg.neg_sample_size_eval and 0 < cfg.neg_sample_size_eval \
-            < dataset.n_entities:
-        raise NotImplementedError(
-            "host-table mode evaluates with the full-entity protocol; "
-            "drop --neg_sample_size_eval (sampled-negative eval needs "
-            "the table on device)")
     samplers = [
         EvalSampler(dataset, split, cfg.batch_size_eval, mode,
                     filter_index if cfg.eval_filter else None,
-                    eval_percent=cfg.eval_percent, seed=cfg.seed)
+                    eval_percent=cfg.eval_percent, seed=cfg.seed,
+                    neg_sample_size=cfg.neg_sample_size_eval,
+                    neg_deg_sample=cfg.neg_deg_sample_eval)
         for mode in ("head", "tail")
     ]
     return evaluate_host_with_samplers(model, state, samplers,
@@ -276,6 +272,9 @@ def evaluate_host_with_samplers(model: KEModel, state: HostState,
             "device — drop --mix_cpu_gpu for eval (checkpoints "
             "interchange) or evaluate on a vocab-sharded mesh")
     start = time.time()
+    if any(getattr(s, "neg_sample_size", 0) > 0 for s in samplers):
+        return _evaluate_host_sampled(model, state, samplers, phase,
+                                      log, start)
     pos_side = _host_pos_side_fn(model)
     block_fn = _host_block_counts_fn(model)
     n_ent = model.n_entities
@@ -335,6 +334,62 @@ def evaluate_host_with_samplers(model: KEModel, state: HostState,
     all_ranks = np.concatenate(
         [(np.maximum(d["counts"], 0) + 1)[d["nv"]] for d in dirs])
     metrics = metrics_from_ranks(all_ranks)
+    for k, v in metrics.items():
+        log(f"[0]{phase} average {k}: {v}")
+    log(f"[0]{phase} takes {time.time() - start:.3f} seconds")
+    return metrics
+
+
+def _host_sampled_ranks_fn(model: KEModel):
+    """Jitted sampled-negative rank kernel over HOST-gathered rows
+    (KEModel._rows_eval_ranks_sampled — the reference's
+    --neg_sample_size_eval protocol, the one its Freebase-scale recipes
+    use; sampler.py:495-501 + general_models.py:463-471)."""
+    def build():
+        def f(h_rows, t_rows, rel_rows, proj_rows, neg_rows, neg_keep,
+              n_valid, neg_head, neg_deg_sample):
+            return model._rows_eval_ranks_sampled(
+                h_rows, t_rows, rel_rows, proj_rows, neg_rows, neg_keep,
+                neg_head=neg_head, neg_deg_sample=neg_deg_sample,
+                n_valid=n_valid)
+
+        return jax.jit(f, static_argnames=("neg_head", "neg_deg_sample"))
+
+    return model._memo("host_sampled_ranks", build)
+
+
+def _evaluate_host_sampled(model: KEModel, state: HostState, samplers,
+                           phase: str, log, start) -> Dict[str, float]:
+    """Sampled-negative ranking with host tables: per batch, the K
+    candidate rows + batch rows are host-gathered and uploaded (a few MB
+    — the same envelope as a train step), ranks come back as a [B] int
+    array.  Per-batch dispatch is fine here: the host link already
+    bounds the step, and K << n_entities is the reason this protocol
+    exists."""
+    from dglke_tpu.models.ke_model import metrics_from_ranks
+
+    rank_fn = _host_sampled_ranks_fn(model)
+    emb = state.entity.emb
+    all_ranks = []
+    for sampler in samplers:
+        for ba in sampler:
+            h, r, t = ba["h"], ba["r"], ba["t"]
+            neg = ba["neg"]
+            keep = ba.get("neg_keep")
+            if keep is None:
+                keep = np.ones((len(h), len(neg)), np.uint8)
+            proj = (state.projection.emb[r] if model.is_transr else None)
+            ranks = rank_fn(jnp.asarray(emb[h]), jnp.asarray(emb[t]),
+                            jnp.asarray(state.relation.emb[r]),
+                            jnp.asarray(proj) if proj is not None else None,
+                            jnp.asarray(emb[neg]), jnp.asarray(keep),
+                            int(ba["n_valid"]), ba["neg_head"],
+                            bool(ba.get("neg_deg_sample", False)))
+            all_ranks.append(np.asarray(ranks)[: ba["n_valid"]])
+    if not all_ranks:
+        raise ValueError("evaluation saw zero edges (empty split or "
+                         "eval_percent too small)")
+    metrics = metrics_from_ranks(np.concatenate(all_ranks))
     for k, v in metrics.items():
         log(f"[0]{phase} average {k}: {v}")
     log(f"[0]{phase} takes {time.time() - start:.3f} seconds")

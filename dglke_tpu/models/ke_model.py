@@ -988,15 +988,27 @@ class KEModel:
         diagonal is multiplied by zero (not excluded), and the zeroed score
         still participates in the >= pos comparison.
         """
-        sf = self.score_fn
-        b = h.shape[0]
-        k = neg.shape[0]
         h_rows = gather_rows(state.entity, h, dim=self.entity_dim)
         t_rows = gather_rows(state.entity, t, dim=self.entity_dim)
         rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
         proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim)
                      if self.is_transr else None)
         neg_rows = gather_rows(state.entity, neg, dim=self.entity_dim)
+        return self._rows_eval_ranks_sampled(
+            h_rows, t_rows, rel_rows, proj_rows, neg_rows, neg_keep,
+            neg_head=neg_head, neg_deg_sample=neg_deg_sample,
+            n_valid=n_valid)
+
+    def _rows_eval_ranks_sampled(self, h_rows, t_rows, rel_rows, proj_rows,
+                                 neg_rows, neg_keep, *, neg_head: bool,
+                                 neg_deg_sample: bool = False,
+                                 n_valid=None):
+        """Row-level core of eval_ranks_sampled (shared with the
+        host-resident-table mode, where the gathers happen on the host —
+        host_table.evaluate_host_with_samplers)."""
+        sf = self.score_fn
+        b = h_rows.shape[0]
+        k = neg_rows.shape[0]
 
         if self.is_transr:
             h_use = sf.project(h_rows, proj_rows)

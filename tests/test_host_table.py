@@ -122,6 +122,32 @@ def test_host_eval_matches_device_eval_exactly(tiny_ds):
         assert abs(m_host[k] - m_dev[k]) < 1e-9, (k, m_host, m_dev)
 
 
+def test_host_sampled_eval_matches_device(tiny_ds):
+    """--neg_sample_size_eval with host tables (the reference's
+    Freebase-scale eval protocol) matches the device sampled eval
+    exactly: EvalSampler draws the same candidates (same seed), and the
+    rank kernel is the shared _rows_eval_ranks_sampled core."""
+    cfg = host_config(max_step=80, neg_sample_size_eval=50,
+                      no_eval_filter=True)
+    model, state, _ = train(cfg, tiny_ds, log=lambda *a: None)
+    m_host = evaluate(cfg, tiny_ds, model, state, "test",
+                      log=lambda *a: None)
+
+    from dglke_tpu.models.ke_model import TrainState
+    from dglke_tpu.ops.embedding import EmbeddingState
+    dev_state = TrainState(
+        entity=EmbeddingState(emb=jnp.asarray(state.entity.emb),
+                              state_sum=jnp.asarray(state.entity.state_sum)),
+        relation=EmbeddingState(emb=jnp.asarray(state.relation.emb),
+                                state_sum=jnp.asarray(
+                                    state.relation.state_sum)),
+        projection=None, step=jnp.asarray(state.step, jnp.int32))
+    m_dev = evaluate(cfg, tiny_ds, model, dev_state, "test",
+                     log=lambda *a: None)
+    for k in m_host:
+        assert abs(m_host[k] - m_dev[k]) < 1e-9, (k, m_host, m_dev)
+
+
 def test_host_mode_rejects_plan(tiny_ds):
     from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
 
