@@ -61,7 +61,15 @@ class HostState:
 
 def _init_table(rng: np.random.Generator, num: int, dim: int,
                 emb_init: float) -> HostEmbedding:
-    emb = rng.uniform(-emb_init, emb_init, (num, dim)).astype(np.float32)
+    # float32-native generation, filled in row chunks: rng.uniform
+    # would materialize a float64 intermediate — 2x the table (98 GB of
+    # transient at 48M x 256), defeating the host-capacity point
+    emb = np.empty((num, dim), np.float32)
+    step = max(1, (64 << 20) // max(dim * 4, 1))
+    for a in range(0, num, step):
+        b = min(a + step, num)
+        blk = rng.random((b - a, dim), dtype=np.float32)
+        emb[a:b] = (blk * (2.0 * emb_init)) - emb_init
     return HostEmbedding(emb, np.zeros((num,), np.float32))
 
 

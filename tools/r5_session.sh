@@ -69,6 +69,13 @@ if ! [ -s "$T/session_r5_bench.json" ]; then
   cat "$T/session_r5_bench.json" >> $T/tpu_session.log 2>/dev/null
 fi
 
+# 5b. bigger-than-HBM single-chip record: 48M x 256 fp32 host table
+#     (49 GiB, 3x HBM) trains via --mix_cpu_gpu
+if ! [ -s "$T/session_r5_host_bighbm.json" ]; then
+  timeout -k 10 2400 python $T/capture_host_bighbm.py \
+    >> $T/tpu_session.log 2>&1 || MISSING=1
+fi
+
 # 6. headline bench WITH the hybrid rng keys (the session_r5_bench
 #    fragment predates the rng fix; sweep cross-window numbers hint at
 #    a possible ~20% pipeline cost — measure it properly)
