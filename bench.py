@@ -87,7 +87,7 @@ DEGRADED_VS_PRIOR = 0.75   # median below this fraction of best prior
 DEGRADED_WAIT_S = 300      # cool-off before the fresh-window remeasure
 
 
-def best_prior_record(metric, pattern="BENCH_r0*.json"):
+def best_prior_record(metric, pattern="BENCH_r*.json"):
     """Best prior round record for `metric` from the driver's artifacts.
 
     Round-over-round comparisons are only meaningful against the best

@@ -22,6 +22,10 @@ def main(argv=None):
                         help="directory containing the saved checkpoint")
     parser.add_argument("--gpu", type=int, default=[-1], nargs="+")
     parser.add_argument("--mix_cpu_gpu", action="store_true")
+    parser.add_argument("--no_mix_cpu_gpu", action="store_true",
+                        help="force device (HBM) tables even when the "
+                             "checkpoint was trained with --mix_cpu_gpu "
+                             "(the table must fit in HBM)")
     parser.add_argument("--dist", action="store_true",
                         help="multi-host eval: initialize jax.distributed "
                              "from JAX_COORDINATOR_ADDRESS / "
@@ -56,7 +60,13 @@ def main(argv=None):
             double_rel=saved.double_rel, dataset=saved.dataset,
             # storage dtype decides the sharded-ckpt template dtype (a
             # bf16-stored table cannot restore into an fp32 template)
-            emb_dtype=saved.emb_dtype)
+            emb_dtype=saved.emb_dtype,
+            # a checkpoint trained with host-resident tables may be
+            # bigger than HBM: adopt the host path from the saved config
+            # (--no_mix_cpu_gpu forces the device path; --mix_cpu_gpu
+            # forces the host path on a device-trained checkpoint)
+            mix_cpu_gpu=(cfg.mix_cpu_gpu or saved.mix_cpu_gpu)
+            and not args.no_mix_cpu_gpu)
 
     dataset = get_dataset(cfg.data_path, cfg.dataset, cfg.format,
                           cfg.delimiter, cfg.data_files,
@@ -69,6 +79,7 @@ def main(argv=None):
         # the checkpoint was trained with host-resident tables; evaluate
         # the same way (the table may not fit in HBM)
         from dglke_tpu.host_table import load_host_state
+        print("Evaluating with host-resident tables (mix_cpu_gpu)")
         state = load_host_state(cfg, model, args.model_path)
         evaluate(cfg, dataset, model, state, "test")
         return 0

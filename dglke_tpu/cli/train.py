@@ -120,6 +120,17 @@ def main(argv=None):
 
     candidate_mode = dataset.valid_dict is not None or \
         dataset.test_dict is not None
+    if cfg.mix_cpu_gpu and (
+            (args.valid and dataset.valid_dict is not None)
+            or (cfg.test and dataset.test_dict is not None)):
+        # fail BEFORE step 1, not at the first eval interval (or worse,
+        # after the full run): candidate-list (wikikg90M-style) eval
+        # needs the table on device, which host mode exists to avoid
+        raise SystemExit(
+            "--mix_cpu_gpu cannot evaluate candidate-list datasets "
+            "(wikikg90M-style valid_dict/test_dict): drop --valid/--test "
+            "here and evaluate the checkpoint without --mix_cpu_gpu "
+            "(artifacts interchange), or on a vocab-sharded mesh")
     filter_index = (FilterIndex(full_dataset or dataset)
                     if cfg.eval_filter and not candidate_mode else None)
     # eval striding: per-rank strides + allgathered partial sums with

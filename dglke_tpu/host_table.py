@@ -42,6 +42,13 @@ from dglke_tpu.data.sampler import EvalSampler, FilterIndex, TrainSampler
 from dglke_tpu.models.ke_model import KEModel
 
 
+# Host eval query-chunking knobs (see evaluate_host_with_samplers):
+# bound the per-kernel [Q, block] score matrix without losing the
+# one-table-pass property.  Module-level so tests can force tiny chunks.
+_Q_CAP_BYTES = 256 << 20
+_Q_MIN_CHUNK = 1024
+
+
 @dataclasses.dataclass
 class HostEmbedding:
     """Mirror of ops.embedding.EmbeddingState with numpy storage (duck-
@@ -93,27 +100,19 @@ def load_host_state(config: KGEConfig, model: KEModel,
                     path: str) -> HostState:
     """Restore a HostState straight from the npy artifacts WITHOUT a
     device round trip (load_model_state would device_put the table —
-    the very thing host mode exists to avoid)."""
-    import os
-    prefix = f"{config.dataset}_{config.model_name}_"
+    the very thing host mode exists to avoid).  Artifact naming lives in
+    one place: utils.io.table_artifact_arrays."""
+    from dglke_tpu.utils.io import saved_step, table_artifact_arrays
 
-    def load(name, fallback_rows):
-        fname = os.path.join(path, prefix + f"{name}.npy")
-        if name == "projection" and not os.path.exists(fname):
-            fname = os.path.join(path, prefix[:-1] + "projection.npy")
-        emb = np.ascontiguousarray(np.load(fname), dtype=np.float32)
-        sf = os.path.join(path, prefix + f"{name}_state.npy")
-        ss = (np.load(sf).astype(np.float32) if os.path.exists(sf)
-              else np.zeros((emb.shape[0],), np.float32))
-        return HostEmbedding(emb, ss)
+    def load(name):
+        emb, ss = table_artifact_arrays(config, path, name)
+        return HostEmbedding(np.ascontiguousarray(emb, dtype=np.float32),
+                             np.asarray(ss, np.float32))
 
-    import os.path as osp
-    ent = load("entity", model.n_entities)
-    rel = load("relation", model.n_relations)
-    proj = load("projection", model.n_relations) if model.is_transr else None
-    step_f = osp.join(path, prefix + "step.npy")
-    step = int(np.load(step_f)) if osp.exists(step_f) else 0
-    return HostState(ent, rel, proj, step)
+    ent = load("entity")
+    rel = load("relation")
+    proj = load("projection") if model.is_transr else None
+    return HostState(ent, rel, proj, saved_step(config, path))
 
 
 def host_adagrad_update(table: HostEmbedding, ids: np.ndarray,
@@ -150,6 +149,7 @@ def train_host(config: KGEConfig, dataset, model: Optional[KEModel] = None,
     it = iter(sampler)
 
     logs = []
+    valid_metrics = None
     start = time.time()
     sample_time = update_time = 0.0
     tic = time.time()
@@ -193,15 +193,20 @@ def train_host(config: KGEConfig, dataset, model: Optional[KEModel] = None,
             sample_time = update_time = 0.0
         if (valid_samplers is not None and cfg.valid
                 and step % cfg.eval_interval == 0):
-            evaluate_host_with_samplers(model, state, valid_samplers,
-                                        phase="Valid", log=log)
+            valid_metrics = evaluate_host_with_samplers(
+                model, state, valid_samplers, phase="Valid", log=log)
         if save_fn is not None and cfg.save_interval > 0 \
                 and step % cfg.save_interval == 0:
             save_fn(state, step)
 
     total = time.time() - start
     log(f"[proc 0]training takes {total} seconds")
-    return model, state, {"train_s": total}
+    # same info contract as trainer.train (callers treat the two paths
+    # uniformly)
+    stats = {"train_time": total}
+    if valid_metrics is not None:
+        stats["valid_metrics"] = valid_metrics
+    return model, state, stats
 
 
 def _host_pos_side_fn(model: KEModel):
@@ -326,6 +331,26 @@ def evaluate_host_with_samplers(model: KEModel, state: HostState,
 
     block = model._eval_block_size(max(len(d["nv"]) for d in dirs))
     block = min(block, n_ent)
+    # Bound the per-kernel [Q, block] score matrix: the query axis holds
+    # the WHOLE split (collected above so the table streams through the
+    # link exactly once), which at a Freebase-sized test split would put
+    # a multi-GB score matrix on a 16 GB chip.  Chunk queries so the
+    # matrix stays <=256 MB; per-chunk dispatches are async-queued, so
+    # extra chunks cost dispatch latency only, not link round trips.
+    q_cap = max(_Q_MIN_CHUNK, _Q_CAP_BYTES // max(block * 4, 1))
+    for d in dirs:
+        n_q = len(d["nv"])
+        if n_q > q_cap:  # pad to a chunk multiple (uniform jit shapes)
+            pad = (-n_q) % q_cap
+            if pad:
+                d["pos"] = jnp.pad(d["pos"], ((0, pad),))
+                d["side"] = jnp.pad(d["side"], ((0, pad), (0, 0)))
+                d["rel"] = jnp.pad(d["rel"], ((0, pad), (0, 0)))
+                if d["proj"] is not None:
+                    d["proj"] = jnp.pad(d["proj"], ((0, pad), (0, 0)))
+                d["fid"] = np.pad(d["fid"], ((0, pad), (0, 0)))
+                d["fm"] = np.pad(d["fm"], ((0, pad), (0, 0)))
+                d["counts"] = np.zeros((n_q + pad,), np.int64)
     for start_row in range(0, n_ent, block):
         cs = min(start_row, n_ent - block)
         cand = jnp.asarray(state.entity.emb[cs:cs + block])   # one upload
@@ -334,13 +359,20 @@ def evaluate_host_with_samplers(model: KEModel, state: HostState,
         for d in dirs:
             local = d["fid"] - cs
             in_blk = (d["fid"] >= start_row) & (local < block) & (d["fm"] > 0)
-            c = block_fn(d["pos"], d["side"], d["rel"], d["proj"], cand,
-                         valid, jnp.asarray(local), jnp.asarray(in_blk),
-                         d["neg_head"])
-            d["counts"] += np.asarray(c, np.int64)
+            n_pad = len(d["counts"])
+            q = n_pad if n_pad <= q_cap else q_cap
+            for q0 in range(0, n_pad, q):
+                c = block_fn(d["pos"][q0:q0 + q], d["side"][q0:q0 + q],
+                             d["rel"][q0:q0 + q],
+                             None if d["proj"] is None
+                             else d["proj"][q0:q0 + q],
+                             cand, valid, jnp.asarray(local[q0:q0 + q]),
+                             jnp.asarray(in_blk[q0:q0 + q]), d["neg_head"])
+                d["counts"][q0:q0 + q] += np.asarray(c, np.int64)
 
     all_ranks = np.concatenate(
-        [(np.maximum(d["counts"], 0) + 1)[d["nv"]] for d in dirs])
+        [(np.maximum(d["counts"][:len(d["nv"])], 0) + 1)[d["nv"]]
+         for d in dirs])
     metrics = metrics_from_ranks(all_ranks)
     for k, v in metrics.items():
         log(f"[0]{phase} average {k}: {v}")

@@ -150,21 +150,39 @@ def save_model(config: KGEConfig, model: KEModel, state: TrainState,
     return path
 
 
+def table_artifact_arrays(config: KGEConfig, path: str, name: str):
+    """Resolve and read one table's npy artifacts as HOST arrays — the
+    single source of truth for the checkpoint naming contract
+    ({dataset}_{model}_{name}.npy, the reference's no-underscore
+    projection spelling score_fun.py:179-180, optional {name}_state.npy
+    Adagrad extras).  Shared by the device loader below and
+    host_table.load_host_state (which must NOT device_put the table).
+    Returns (emb, state_sum) numpy arrays."""
+    prefix = f"{config.dataset}_{config.model_name}_"
+    fname = os.path.join(path, prefix + f"{name}.npy")
+    if name == "projection" and not os.path.exists(fname):
+        fname = os.path.join(path, prefix[:-1] + "projection.npy")
+    emb = np.load(fname)
+    state_file = os.path.join(path, prefix + f"{name}_state.npy")
+    if os.path.exists(state_file):
+        ss = np.load(state_file)
+    else:
+        ss = np.zeros((emb.shape[0],), np.float32)
+    return emb, ss
+
+
+def saved_step(config: KGEConfig, path: str) -> int:
+    """The step counter saved alongside the tables (0 when absent —
+    reference-produced checkpoints have no step artifact)."""
+    step_file = os.path.join(
+        path, f"{config.dataset}_{config.model_name}_step.npy")
+    return int(np.load(step_file)) if os.path.exists(step_file) else 0
+
+
 def load_model_state(config: KGEConfig, model: KEModel, path: str
                      ) -> TrainState:
-    prefix = f"{config.dataset}_{config.model_name}_"
-
     def load_table(name) -> EmbeddingState:
-        fname = os.path.join(path, prefix + f"{name}.npy")
-        if name == "projection" and not os.path.exists(fname):
-            # reference spelling (no underscore), score_fun.py:179-180
-            fname = os.path.join(path, prefix[:-1] + "projection.npy")
-        emb = np.load(fname)
-        state_file = os.path.join(path, prefix + f"{name}_state.npy")
-        if os.path.exists(state_file):
-            ss = np.load(state_file)
-        else:
-            ss = np.zeros((emb.shape[0],), np.float32)
+        emb, ss = table_artifact_arrays(config, path, name)
         # the npy artifact is fp32; restore the configured storage dtype
         # and the lane-padded layout init_embedding would have chosen.
         # One donated jit fuses cast+pad so the fp32 staging buffer frees
@@ -192,9 +210,7 @@ def load_model_state(config: KGEConfig, model: KEModel, path: str
     projection = None
     if model.is_transr:
         projection = load_table("projection")
-    step_file = os.path.join(path, prefix + "step.npy")
-    step = (jnp.asarray(np.load(step_file)) if os.path.exists(step_file)
-            else jnp.zeros((), jnp.int32))
+    step = jnp.asarray(saved_step(config, path), jnp.int32)
     return TrainState(entity=entity, relation=relation, projection=projection,
                       step=step)
 

@@ -86,7 +86,24 @@ def test_train_eval_cli_mix_cpu_gpu(fake_data, tmp_path, capsys):
         "--model_path", ckpt,
     ])
     assert rc == 0
-    assert "Test average MRR" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    # the saved config carries mix_cpu_gpu=true; eval must actually take
+    # the host-table branch (not just happen to print metrics via the
+    # device path)
+    assert "host-resident tables" in out, out
+    assert "Test average MRR" in out
+    # --no_mix_cpu_gpu overrides the saved config: same checkpoint
+    # evaluates on device tables (the documented HBM interchange)
+    rc = eval_main([
+        "--dataset", "fakekg", "--data_path", fake_data,
+        "--format", "raw_udd_hrt",
+        "--data_files", "train.txt", "valid.txt", "test.txt",
+        "--model_path", ckpt, "--no_mix_cpu_gpu",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "host-resident tables" not in out, out
+    assert "Test average MRR" in out
 
 
 def test_eval_cli(fake_data, trained_ckpt, capsys):

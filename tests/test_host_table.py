@@ -148,6 +148,25 @@ def test_host_sampled_eval_matches_device(tiny_ds):
         assert abs(m_host[k] - m_dev[k]) < 1e-9, (k, m_host, m_dev)
 
 
+def test_host_eval_query_chunking_metric_equal(tiny_ds, monkeypatch):
+    """The bounded [Q, block] query chunking (the guard against a
+    Freebase-sized split materializing a multi-GB score matrix) changes
+    NOTHING about the metrics: forcing tiny chunks (so the split spans
+    many padded chunks) reproduces the unchunked host eval exactly."""
+    import dglke_tpu.host_table as ht
+
+    cfg = host_config(max_step=80)
+    model, state, _ = train(cfg, tiny_ds, log=lambda *a: None)
+    m_ref = evaluate(cfg, tiny_ds, model, state, "test",
+                     log=lambda *a: None)
+    monkeypatch.setattr(ht, "_Q_CAP_BYTES", 1)
+    monkeypatch.setattr(ht, "_Q_MIN_CHUNK", 7)  # non-divisor: pads too
+    m_chunked = evaluate(cfg, tiny_ds, model, state, "test",
+                         log=lambda *a: None)
+    for k in m_ref:
+        assert abs(m_ref[k] - m_chunked[k]) < 1e-9, (k, m_ref, m_chunked)
+
+
 def test_host_mode_rejects_plan(tiny_ds):
     from dglke_tpu.parallel.mesh import ShardingPlan, make_mesh
 
