@@ -132,9 +132,19 @@ class InferModel:
         sf = self.score_fn
         if triplet_wise:
             if self.is_transr:
-                proj = jnp.asarray(self.projection_emb[rel])
-                h_emb = sf.project(h_emb, proj)
-                t_emb = sf.project(t_emb, proj)
+                # block the per-edge projections: each gathers a
+                # [De, Dr] matrix per triple (640 KB/triple at dim 400),
+                # so an unblocked 100k-triple request would stage ~64 GB
+                # (the non-TransR arm is elementwise and safe unblocked)
+                bs = max(1, self.batch_size)
+                outs = []
+                for i in range(0, h_emb.shape[0], bs):
+                    proj = jnp.asarray(self.projection_emb[rel[i:i + bs]])
+                    hp = sf.project(h_emb[i:i + bs], proj)
+                    tp = sf.project(t_emb[i:i + bs], proj)
+                    outs.append(np.asarray(
+                        sf.pos_score(hp, r_emb[i:i + bs], tp)))
+                return np.concatenate(outs, axis=0)
             return np.asarray(sf.pos_score(h_emb, r_emb, t_emb))
 
         if self.is_transr:

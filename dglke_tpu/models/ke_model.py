@@ -69,7 +69,14 @@ def _pipeline_rng_mode() -> str:
 
 def _pipeline_step_keys(base_key, call_idx, s: int):
     """[s//2, 2] per-step negative-draw keys (see _pipeline_rng_mode)."""
-    key = jax.random.fold_in(base_key, call_idx)      # threefry: sound
+    # Domain-separate from the epoch-permutation folds: trainer/pipeline
+    # epoch shuffles use fold_in(base_key, epoch) over the SAME small-int
+    # space, so without the tag call 0's negative key is bit-identical to
+    # epoch 0's permutation key (and every call_idx <= n_epochs collides)
+    # — the class of stream correlation the SimplE investigation showed
+    # measurably degrades long trainings.
+    key = jax.random.fold_in(base_key, 0x6E656753)    # 'negS' tag
+    key = jax.random.fold_in(key, call_idx)           # threefry: sound
     if _pipeline_rng_mode() == "hybrid":
         try:
             kd = jax.random.bits(key, (s // 2, 2, 4), jnp.uint32)
@@ -77,6 +84,15 @@ def _pipeline_step_keys(base_key, call_idx, s: int):
         except Exception:  # backend without rbg support
             pass
     return jax.random.split(key, (s // 2, 2))
+
+
+def _plan_key(plan):
+    """Stable memo identity for a ShardingPlan: axis name + device ids
+    (id(plan) can be recycled after a plan is garbage-collected)."""
+    if plan is None:
+        return None
+    return (plan.axis, getattr(plan, "table_sharding", None),
+            tuple(d.id for d in plan.mesh.devices.flat))
 
 
 def _update_relation(rel: EmbeddingState, r, g_r, lr: float,
@@ -482,10 +498,9 @@ class KEModel:
         Memoized: repeated train() calls must reuse one jit wrapper (jax's
         compile cache keys on the function object)."""
         def build():
-            fn = functools.partial(self.train_step)
-
             def step(state, h, r, t, neg, impts, neg_head):
-                return fn(state, h, r, t, neg, impts, neg_head=neg_head)
+                return self.train_step(state, h, r, t, neg, impts,
+                                       neg_head=neg_head)
 
             return jax.jit(step, static_argnames=("neg_head",),
                            donate_argnums=(0,) if donate else ())
@@ -599,10 +614,12 @@ class KEModel:
                                   donate: bool = True, plan=None,
                                   with_impts: bool = False):
         # memoized (jax's compile cache keys on the function object);
-        # plans are long-lived, so id(plan) is a stable key component
+        # the plan is keyed by its stable identity (axis + device ids),
+        # not id(): a recycled id() of a garbage-collected plan would
+        # silently return a step jitted for the dead plan's mesh
         return self._memo(
             ("device_pipeline_step", n_edges, batch_size, neg_total,
-             steps_per_call, donate, id(plan), with_impts,
+             steps_per_call, donate, _plan_key(plan), with_impts,
              _pipeline_rng_mode()),
             lambda: self._build_device_pipeline_step(
                 n_edges, batch_size, neg_total, steps_per_call,
@@ -708,7 +725,7 @@ class KEModel:
             donate: bool = True):
         return self._memo(
             ("device_pipeline_step_mh", n_edges, batch_size, neg_total,
-             steps_per_call, id(plan), nproc, local, key_impl,
+             steps_per_call, _plan_key(plan), nproc, local, key_impl,
              with_impts, donate, _pipeline_rng_mode()),
             lambda: self._build_device_pipeline_step_multihost(
                 n_edges, batch_size, neg_total, steps_per_call, plan,
@@ -921,10 +938,18 @@ class KEModel:
         """Shared gather/project preamble of the full-entity eval paths:
         (pos [B], side rows [B, D], rel rows, TransR proj rows or None)."""
         sf = self.score_fn
-        h_rows = gather_rows(state.entity, h, dim=self.entity_dim)
-        t_rows = gather_rows(state.entity, t, dim=self.entity_dim)
-        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
-        proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim)
+        # fp32 upcast (like the train path's gathers): with bf16-stored
+        # tables the positive score is the RANKING THRESHOLD — computing
+        # it in bf16 while the candidate einsums accumulate in f32 would
+        # add ~2^-8-relative systematic noise to every comparison
+        h_rows = gather_rows(state.entity, h, dim=self.entity_dim,
+                             dtype=jnp.float32)
+        t_rows = gather_rows(state.entity, t, dim=self.entity_dim,
+                             dtype=jnp.float32)
+        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim,
+                               dtype=jnp.float32)
+        proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim,
+                                 dtype=jnp.float32)
                      if self.is_transr else None)
         if self.is_transr:
             h_use = sf.project(h_rows, proj_rows)
@@ -988,12 +1013,19 @@ class KEModel:
         diagonal is multiplied by zero (not excluded), and the zeroed score
         still participates in the >= pos comparison.
         """
-        h_rows = gather_rows(state.entity, h, dim=self.entity_dim)
-        t_rows = gather_rows(state.entity, t, dim=self.entity_dim)
-        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
-        proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim)
+        # fp32 upcast for the same reason as _eval_pos_side: pos is the
+        # ranking threshold and must not carry bf16 compute error
+        h_rows = gather_rows(state.entity, h, dim=self.entity_dim,
+                             dtype=jnp.float32)
+        t_rows = gather_rows(state.entity, t, dim=self.entity_dim,
+                             dtype=jnp.float32)
+        rel_rows = gather_rows(state.relation, r, dim=self.relation_dim,
+                               dtype=jnp.float32)
+        proj_rows = (gather_rows(state.projection, r, dim=self.proj_dim,
+                                 dtype=jnp.float32)
                      if self.is_transr else None)
-        neg_rows = gather_rows(state.entity, neg, dim=self.entity_dim)
+        neg_rows = gather_rows(state.entity, neg, dim=self.entity_dim,
+                               dtype=jnp.float32)
         return self._rows_eval_ranks_sampled(
             h_rows, t_rows, rel_rows, proj_rows, neg_rows, neg_keep,
             neg_head=neg_head, neg_deg_sample=neg_deg_sample,
@@ -1086,6 +1118,24 @@ class KEModel:
         rel_rows = gather_rows(state.relation, r, dim=self.relation_dim)
         cand = gather_rows(state.entity, cand_ids.reshape(-1),
                            dim=self.entity_dim)
+        if self.is_transr:
+            # TransR scores live in relation space: project the query
+            # rows with their own edge's matrix, and each row's K
+            # candidates with that same matrix (per-edge [K, De] x
+            # [De, Dr] — the candidate analogue of neg_project's
+            # chunk form)
+            proj_rows = gather_rows(state.projection, r,
+                                    dim=self.proj_dim)
+            h_rows = sf.project(h_rows, proj_rows)          # [B, Dr]
+            p = proj_rows.reshape(b, self.entity_dim, self.relation_dim)
+            cand = jnp.einsum(
+                "bkd,bdr->bkr", cand.reshape(b, k, self.entity_dim), p,
+                preferred_element_type=jnp.float32, precision="high")
+            s = sf.neg_score(h_rows.reshape(b, 1, -1), rel_rows,
+                             cand.reshape(b, 1, k, -1), neg_head=neg_head,
+                             num_chunks=b, chunk_size=1,
+                             neg_sample_size=k)
+            return s.reshape(b, k)
         s = sf.neg_score(h_rows, rel_rows, cand, neg_head=neg_head,
                          num_chunks=b, chunk_size=1, neg_sample_size=k)
         return s.reshape(b, k)

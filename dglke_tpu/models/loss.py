@@ -32,9 +32,14 @@ def _criterion(genre: str, margin: float):
     if genre == "Logsigmoid":
         return lambda score, label: -jax.nn.log_sigmoid(label * score)
     if genre == "BCE":
+        # Stable form: log(1 - sigmoid(s)) == log_sigmoid(-s).  The
+        # reference computes th.log(1 - th.sigmoid(score)) directly
+        # (loss.py BCELoss), which saturates to -inf at score ~ 18 in
+        # fp32 and NaN-poisons the positive arm (0 * -inf); documented
+        # numerical fix, identical value where the reference is finite.
         return lambda score, label: -(
             label * jax.nn.log_sigmoid(score)
-            + (1.0 - label) * jnp.log1p(-jax.nn.sigmoid(score))
+            + (1.0 - label) * jax.nn.log_sigmoid(-score)
         )
     raise ValueError(f"loss genre {genre} is not supported")
 

@@ -53,6 +53,37 @@ def test_candidate_valid_metrics():
     assert want_mr_low <= metrics["MR"] <= ranks.mean() + 1e-6
 
 
+def test_transr_candidate_scores():
+    """TransR candidate scoring projects the query row AND each row's
+    candidates with that row's own relation matrix (it used to crash at
+    trace time on a shape mismatch — raw [B, De] rows fed to a score
+    form expecting projected [.., Dr] rows).  Cross-checked against
+    per-row numpy: score = gamma - L1(h P_r + r - c P_r)."""
+    cfg = KGEConfig(model_name="TransR", hidden_dim=6, gamma=4.0)
+    model = KEModel(cfg, 30, 4)
+    state = model.init_state(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(1)
+    b, k = 5, 7
+    h = rng.randint(0, 30, b).astype(np.int32)
+    r = rng.randint(0, 4, b).astype(np.int32)
+    cand = rng.randint(0, 30, (b, k)).astype(np.int32)
+    s = np.asarray(model.candidate_scores(state, h, r, cand,
+                                          neg_head=False))
+    assert s.shape == (b, k)
+    ent = np.asarray(state.entity.emb, np.float64)
+    rel = np.asarray(state.relation.emb, np.float64)
+    proj = np.asarray(state.projection.emb, np.float64)
+    de, dr = model.entity_dim, model.relation_dim
+    for i in range(b):
+        p = proj[r[i]].reshape(de, dr)
+        hp = ent[h[i]] @ p
+        for j in range(k):
+            cp = ent[cand[i, j]] @ p
+            want = cfg.gamma - np.abs(hp + rel[r[i]] - cp).sum()
+            np.testing.assert_allclose(s[i, j], want, rtol=2e-4,
+                                       atol=2e-4)
+
+
 def test_valid_hook_routes_candidate_sampler():
     """The periodic-validation hook dispatches candidate-list samplers to
     evaluate_candidates (the wikikg90M --valid path in the train CLI)."""

@@ -78,6 +78,29 @@ def test_bce_loss():
                                rtol=1e-4)
 
 
+def test_bce_loss_stable_at_large_scores():
+    """The naive 1-sigmoid form (the reference's BCELoss,
+    pytorch/loss.py:31) saturates at |score| ~ 18 in fp32: inf loss on
+    negatives, 0 * -inf = NaN on positives, NaN gradients that poison
+    the table via Adagrad.  The log_sigmoid(-s) form must stay finite
+    (same value where the reference is finite — covered by
+    test_bce_loss above)."""
+    import jax
+
+    gen = LossGenerator(loss_genre="BCE")
+    big_pos = jnp.asarray([25.0, 40.0])
+    big_neg = jnp.asarray([[25.0, -40.0], [40.0, 30.0]])
+
+    def total(p, n):
+        loss, _ = gen.get_total_loss(p, n)
+        return loss
+
+    loss = total(big_pos, big_neg)
+    assert np.isfinite(float(loss)), loss
+    g = jax.grad(total, argnums=(0, 1))(big_pos, big_neg)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in g), g
+
+
 def test_pairwise_loss():
     gen = LossGenerator(loss_genre="Hinge", margin=1.0, pairwise=True)
     loss, _ = gen.get_total_loss(jnp.asarray(POS), jnp.asarray(NEG))

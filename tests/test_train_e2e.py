@@ -172,12 +172,14 @@ def test_pipeline_negative_keys_threefry_derived(monkeypatch):
                                            _pipeline_step_keys)
 
     base = jax.random.PRNGKey(3)
+    tagged = jax.random.fold_in(base, 0x6E656753)  # negative-key domain
     monkeypatch.delenv("DGLKE_TPU_PIPELINE_THREEFRY", raising=False)
     keys = _pipeline_step_keys(base, 7, 8)
     assert keys.shape == (4, 2)
     if _pipeline_rng_mode() == "hybrid":
-        # contract: key words == threefry bits of fold_in(base, call_idx)
-        expect = jax.random.bits(jax.random.fold_in(base, 7), (4, 2, 4),
+        # contract: key words == threefry bits of the DOMAIN-TAGGED
+        # fold_in chain (tag, then call_idx)
+        expect = jax.random.bits(jax.random.fold_in(tagged, 7), (4, 2, 4),
                                  jnp.uint32)
         np.testing.assert_array_equal(
             np.asarray(jax.random.key_data(keys)), np.asarray(expect))
@@ -187,8 +189,68 @@ def test_pipeline_negative_keys_threefry_derived(monkeypatch):
                               np.asarray(jax.random.key_data(k2)))
     monkeypatch.setenv("DGLKE_TPU_PIPELINE_THREEFRY", "1")
     tf = _pipeline_step_keys(base, 7, 8)
-    expect_tf = jax.random.split(jax.random.fold_in(base, 7), (4, 2))
+    expect_tf = jax.random.split(jax.random.fold_in(tagged, 7), (4, 2))
     np.testing.assert_array_equal(np.asarray(tf), np.asarray(expect_tf))
+
+
+def test_bf16_table_eval_equals_f32_of_same_values():
+    """bf16-stored tables must rank EXACTLY like an fp32 table holding
+    the same (bf16-rounded) values: the eval preamble upcasts its row
+    gathers to f32 (like the train path), so the positive score — the
+    ranking threshold — carries no bf16 compute error while candidate
+    scores accumulate in f32."""
+    from dglke_tpu.models.ke_model import TrainState
+    from dglke_tpu.ops.embedding import EmbeddingState
+
+    cfg16 = small_config(model_name="DistMult", hidden_dim=16,
+                         emb_dtype="bfloat16")
+    cfg32 = small_config(model_name="DistMult", hidden_dim=16)
+    m16 = KEModel(cfg16, 60, 3)
+    m32 = KEModel(cfg32, 60, 3)
+    st16 = m16.init_state(jax.random.PRNGKey(5))
+    assert st16.entity.emb.dtype == jnp.bfloat16
+
+    def upcast(e):
+        return EmbeddingState(emb=e.emb.astype(jnp.float32),
+                              state_sum=e.state_sum)
+
+    st32 = TrainState(entity=upcast(st16.entity),
+                      relation=upcast(st16.relation),
+                      projection=None, step=st16.step)
+    rng = np.random.RandomState(0)
+    b = 8
+    h = rng.randint(0, 60, b).astype(np.int32)
+    r = rng.randint(0, 3, b).astype(np.int32)
+    t = rng.randint(0, 60, b).astype(np.int32)
+    fid = np.zeros((b, 4), np.int32)
+    fm = np.zeros((b, 4), np.uint8)
+    for neg_head in (True, False):
+        r16 = np.asarray(m16.eval_ranks(st16, h, r, t, fid, fm,
+                                        neg_head=neg_head))
+        r32 = np.asarray(m32.eval_ranks(st32, h, r, t, fid, fm,
+                                        neg_head=neg_head))
+        np.testing.assert_array_equal(r16, r32)
+
+
+def test_pipeline_negative_keys_domain_separated(monkeypatch):
+    """The negative-key stream must not collide with the epoch-
+    permutation stream: both fold the SAME base key over small ints
+    (call_idx vs epoch), so without a domain tag call k's negative key
+    is bit-identical to epoch k's permutation key — the correlation
+    class the SimplE investigation showed degrades long trainings."""
+    from dglke_tpu.models.ke_model import _pipeline_step_keys
+
+    base = jax.random.PRNGKey(3)
+    monkeypatch.setenv("DGLKE_TPU_PIPELINE_THREEFRY", "1")
+    for call_idx in (0, 1, 5):
+        neg_keys = np.asarray(jax.random.key_data(
+            _pipeline_step_keys(base, call_idx, 8)))
+        for epoch in (0, 1, 5, call_idx):
+            perm_key = np.asarray(jax.random.key_data(
+                jax.random.fold_in(base, epoch)))
+            assert not np.any(
+                np.all(neg_keys.reshape(-1, perm_key.shape[-1])
+                       == perm_key, axis=-1)), (call_idx, epoch)
 
 
 def test_device_pipeline_matches_quality(tiny_ds):

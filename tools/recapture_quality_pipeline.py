@@ -40,7 +40,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "session_r5_pipeline_quality.json")
+                   os.environ.get("RECAPTURE_OUT",
+                                  "session_r5_pipeline_quality.json"))
 SIMPLE_FRAG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "session_r4_quality_SimplE.json")
 
@@ -140,7 +141,11 @@ def run_quality(model_name):
 def main():
     rec = _load()
     fams = rec["families"]
-    if "SimplE" not in fams and os.path.exists(SIMPLE_FRAG):
+    if os.environ.get("RECAPTURE_ALL"):
+        # post-RNG-change sweeps: SimplE's official fragment measured the
+        # old negative stream, so re-run it instead of copying it in
+        ORDER.insert(ORDER.index("RESCAL"), "SimplE")
+    elif "SimplE" not in fams and os.path.exists(SIMPLE_FRAG):
         with open(SIMPLE_FRAG) as f:
             frag = json.load(f)
         frag["path_note"] = ("official 262k capture, already measured on "
