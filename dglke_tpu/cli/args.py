@@ -89,8 +89,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                         "JAX_PROCESS_ID and feed this host's edge partition")
     p.add_argument("--partition_path", type=str, default=None,
                    help="directory containing partition_<rank>/ artifacts "
-                        "from dglke_tpu-partition (defaults to "
-                        "data_path/dataset)")
+                        "from dglke_tpu-partition; when omitted, --dist "
+                        "partitions the edge list in situ per host "
+                        "(seeded random, or soft relation partitioning "
+                        "with --rel_part)")
     p.add_argument("--init_from", type=str, default=None,
                    help="resume training from a saved checkpoint directory "
                         "(tables + Adagrad state + step; the reference "

@@ -71,6 +71,14 @@ def main(argv=None):
     dataset = get_dataset(cfg.data_path, cfg.dataset, cfg.format,
                           cfg.delimiter, cfg.data_files,
                           cfg.has_edge_importance)
+    candidate_mode = dataset.test_dict is not None
+    if candidate_mode and cfg.mix_cpu_gpu:
+        # refuse BEFORE loading a maybe-bigger-than-HBM table:
+        # candidate-list eval needs the table on device
+        raise SystemExit(
+            "--mix_cpu_gpu cannot evaluate candidate-list datasets "
+            "(wikikg90M-style test_dict): pass --no_mix_cpu_gpu if the "
+            "table fits in HBM, or evaluate on a vocab-sharded mesh")
     model = KEModel(cfg, dataset.n_entities, dataset.n_relations)
     import jax
     n_dev = len(jax.devices())
@@ -139,6 +147,28 @@ def main(argv=None):
             # mirror cli/train.py: shard the dense artifact over the mesh
             # so the sharded-eval path actually engages
             state = vocab_plan().put_state(state)
+    if candidate_mode:
+        # wikikg90M-style protocol (same routing as cli/train.py --test):
+        # with answer indices, report Valid-mode metrics; without, write
+        # the reference's test_{rank}.pkl top-10 predictions
+        from dglke_tpu.trainer import CandidateEvalSampler, \
+            _global_eval, evaluate_candidates
+        if _global_eval(plan):
+            eval_rank, eval_ranks_n = 0, 1
+        else:
+            eval_rank, eval_ranks_n = (jax.process_index(),
+                                       jax.process_count())
+        sampler = CandidateEvalSampler(dataset.test_dict,
+                                       cfg.batch_size_eval,
+                                       rank=eval_rank, ranks=eval_ranks_n)
+        evaluate_candidates(
+            model, state, sampler,
+            mode="Valid" if sampler.ans is not None else "Test",
+            save_path=args.model_path, rank=jax.process_index(),
+            plan=plan,
+            slice_ranks=(jax.process_count() if _global_eval(plan)
+                         else 1))
+        return 0
     evaluate(cfg, dataset, model, state, "test", plan=plan)
     return 0
 

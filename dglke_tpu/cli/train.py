@@ -39,6 +39,14 @@ def main(argv=None):
     cfg = config_from_args(args)
     warn_inert_flags(args)
 
+    if args.dist and cfg.mix_cpu_gpu:
+        # refuse BEFORE hours of training: host-table replicas have no
+        # ShardingPlan, so the multi-process end-of-run save (which
+        # gathers the sharded tables via plan.mesh) cannot work
+        raise SystemExit(
+            "--mix_cpu_gpu is a single-host mode (tables live in one "
+            "host's DRAM); combine --dist with HBM tables "
+            "(--table_sharding vocab shards big tables over the pod)")
     if args.dist:
         import jax
         jax.distributed.initialize(
@@ -72,6 +80,12 @@ def main(argv=None):
                               cfg.has_edge_importance)
         if args.dist:
             import jax
+            maybe = os.path.join(cfg.data_path, cfg.dataset, "partition_0")
+            if os.path.isdir(maybe):
+                print(f"NOTE: offline partition artifacts exist at "
+                      f"{os.path.dirname(maybe)} but --partition_path was "
+                      f"not given; partitioning the edge list in situ "
+                      f"instead")
             if jax.process_count() > 1:
                 # the eval filter must cover the FULL train split (the
                 # reference builds it over the whole graph, train.py:331);
@@ -131,8 +145,20 @@ def main(argv=None):
             "(wikikg90M-style valid_dict/test_dict): drop --valid/--test "
             "here and evaluate the checkpoint without --mix_cpu_gpu "
             "(artifacts interchange), or on a vocab-sharded mesh")
-    filter_index = (FilterIndex(full_dataset or dataset)
-                    if cfg.eval_filter and not candidate_mode else None)
+    # Build the eval filter only when something will evaluate: the
+    # lexsort over the full train split is O(E log E) host work
+    # (~minutes + GBs at Freebase scale) a pure training run never
+    # reads.  Never build it from a per-host partition slice — a
+    # deflated filter silently understates ranks (full_dataset carries
+    # the unpartitioned graph when eval splits exist).
+    needs_eval = args.valid or cfg.test
+    filter_source = full_dataset or dataset
+    filter_index = (FilterIndex(filter_source)
+                    if cfg.eval_filter and not candidate_mode
+                    and needs_eval
+                    and not getattr(filter_source, "train_partitioned",
+                                    False)
+                    else None)
     # eval striding: per-rank strides + allgathered partial sums with
     # replicated tables; IDENTICAL batches on every process with a
     # vocab-sharded table (trainer._global_eval — the batch enters the

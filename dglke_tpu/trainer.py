@@ -153,8 +153,16 @@ def train(config: KGEConfig, dataset: KGDataset,
         if jax.process_index() != 0:
             log = lambda *a, **k: None  # noqa: E731 — rank-0 logging
 
-    sampler = TrainSampler(dataset, cfg.batch_size, cfg.neg_sample_size,
-                           seed=cfg.seed + jax.process_index())
+    # The host-side sampler is only needed on the host-fed paths: the
+    # device pipeline samples on device, and at Freebase scale the
+    # sampler's contiguous int32 copies are ~4 GB of host memory the
+    # pipeline never reads — so build it lazily.
+    neg_total = cfg.num_chunks * cfg.neg_sample_size
+
+    def make_sampler():
+        return TrainSampler(dataset, cfg.batch_size, cfg.neg_sample_size,
+                            seed=cfg.seed + jax.process_index())
+
     packed_mode = plan is None
     # Multi-device (single- OR multi-host): keep the loop fully
     # device-resident — the sharded tables stay put and batches are
@@ -214,21 +222,20 @@ def train(config: KGEConfig, dataset: KGDataset,
     pipe = None
     if device_pipe_mode and s > 1:
         pipe = DevicePipeline(model, dataset, cfg.batch_size,
-                              sampler.num_chunks * sampler.neg_sample_size,
-                              s, seed=cfg.seed, plan=plan)
+                              neg_total, s, seed=cfg.seed, plan=plan)
         log(f"[proc 0]device-resident pipeline: {s} steps/call, "
             f"{jax.process_count()} process(es) x "
             f"{jax.local_device_count()} device(s)")
         feeder = step_fn = prefetch = None
     elif packed_mode and s > 1:
+        sampler = make_sampler()
         feeder = None
         try:
             from dglke_tpu.data import native
             if native.available():
                 feeder = native.NativeSuperbatchSampler(
                     sampler.h, sampler.r, sampler.t, sampler.n_entities,
-                    cfg.batch_size,
-                    sampler.num_chunks * sampler.neg_sample_size, s,
+                    cfg.batch_size, neg_total, s,
                     seed=cfg.seed, impts=sampler.impts)
         except Exception:
             feeder = None
@@ -237,10 +244,10 @@ def train(config: KGEConfig, dataset: KGDataset,
             feeder = SuperbatchSampler(sampler, s)
         step_fn = model.make_train_superstep(cfg.batch_size, s)
     elif packed_mode:
-        feeder = sampler
+        feeder = make_sampler()
         step_fn = model.make_train_step_packed(cfg.batch_size)
     else:
-        feeder = sampler
+        feeder = make_sampler()
         step_fn = model.make_train_step()
     if pipe is None:
         prefetch = Prefetcher(feeder, _put_batch(plan))
@@ -266,6 +273,21 @@ def train(config: KGEConfig, dataset: KGDataset,
         jax.profiler.stop_trace()
         log("[proc 0]profiler trace written")
 
+    def flush_logs(step):
+        # one flush shared by both branches: the log format is parsed by
+        # downstream tooling, so pipe-mode and host-fed logging must not
+        # drift
+        nonlocal logs, tic
+        host_logs = jax.device_get(logs)
+        for k in host_logs[0]:
+            v = float(np.mean([l[k] for l in host_logs]))
+            log(f"[proc 0][Train]({step}/{cfg.max_step}) "
+                f"average {k}: {v}")
+        logs = []
+        log(f"[proc 0][Train] {cfg.log_interval} steps take "
+            f"{time.time() - tic:.3f} seconds")
+        tic = time.time()
+
     while step < cfg.max_step:
         if profile_dir is not None and not profiling and step >= 2 * s:
             jax.profiler.start_trace(profile_dir)
@@ -278,15 +300,7 @@ def train(config: KGEConfig, dataset: KGDataset,
             update_time += time.time() - t0
             logs.append(log_dict)
             if crossed(step, prev, cfg.log_interval):
-                host_logs = jax.device_get(logs)
-                for k in host_logs[0]:
-                    v = float(np.mean([l[k] for l in host_logs]))
-                    log(f"[proc 0][Train]({step}/{cfg.max_step}) "
-                        f"average {k}: {v}")
-                logs = []
-                log(f"[proc 0][Train] {cfg.log_interval} steps take "
-                    f"{time.time() - tic:.3f} seconds")
-                tic = time.time()
+                flush_logs(step)
             if profiling and step >= 4 * s:
                 stop_profiler()
                 profiling = False
@@ -325,18 +339,10 @@ def train(config: KGEConfig, dataset: KGDataset,
         logs.append(log_dict)
 
         if crossed(step, prev, cfg.log_interval):
-            host_logs = jax.device_get(logs)
-            for k in host_logs[0]:
-                v = float(np.mean([l[k] for l in host_logs]))
-                log(f"[proc 0][Train]({step}/{cfg.max_step}) "
-                    f"average {k}: {v}")
-            logs = []
-            log(f"[proc 0][Train] {cfg.log_interval} steps take "
-                f"{time.time() - tic:.3f} seconds")
+            flush_logs(step)
             log(f"[proc 0]sample: {sample_time:.3f}, "
                 f"update: {update_time:.3f}")
             sample_time = update_time = 0.0
-            tic = time.time()
 
         if profiling and step >= 4 * s:
             stop_profiler()
@@ -738,7 +744,12 @@ def evaluate_candidates(model: KEModel, state: TrainState,
             log(f"[{rank}]{mode} average {k}: {v}")
         return metrics
     sl = slice(rank, None, slice_ranks) if slice_ranks > 1 else slice(None)
-    out = {"h,r->t": {"t_pred_top10": np.concatenate(all_top10)[sl]}}
+    # an empty per-rank stride (more ranks than queries, or a tiny
+    # custom split) writes an empty pkl instead of crashing the rank
+    # mid-collective on np.concatenate([])
+    top10 = (np.concatenate(all_top10) if all_top10
+             else np.zeros((0, 10), np.int64))
+    out = {"h,r->t": {"t_pred_top10": top10[sl]}}
     if all_ans:
         out["h,r->t"]["t_correct_index"] = np.concatenate(all_ans)[sl]
     if save_path:

@@ -146,3 +146,20 @@ def test_wiki90m_cli_train_valid_test(monkeypatch, tmp_path):
     top10 = out["h,r->t"]["t_pred_top10"]
     assert top10.shape == (20, min(10, N_CAND))
     assert (top10 >= 0).all() and (top10 < N_CAND).all()
+
+    # standalone eval CLI on the same candidate-list dataset: it must
+    # route to evaluate_candidates (it used to call evaluate() on the
+    # None "test" split and die in EvalSampler), writing the reference's
+    # top-10 pkl since the test split ships no answers
+    from dglke_tpu.cli.eval import main as eval_main
+    os.remove(pkl)
+    rc = eval_main([
+        "--dataset", "wikikg90M", "--data_path", str(tmp_path),
+        "--format", "built_in", "--model_path", ckpt,
+        "--batch_size_eval", "5",
+    ])
+    assert rc == 0
+    assert os.path.exists(pkl), os.listdir(ckpt)
+    with open(pkl, "rb") as f:
+        out = pickle.load(f)
+    assert out["h,r->t"]["t_pred_top10"].shape == (20, min(10, N_CAND))
